@@ -1,0 +1,124 @@
+"""Model factory: net_tag string -> flax module.
+
+Rebuild of the reference dispatch surface (``Code/models/__init__.py:55-133``
+net_map).  Same tags, TPU-native modules:
+
+====================  =========================================================
+net_tag               module
+====================  =========================================================
+unet                  plain UNet (blocks.UNet)
+unet_vq_topk          UNetMem_v4 equivalent (non-residual memory)
+unet_vq_topk_res      UNetMem_v7 (stage-1 single-stream net)
+unet_vq_twostream     TwoStreamUNetMem (the released AMMCNet generator)
+unet_vq_twostream_concat_dire / _add_dire   bridge ablations
+vqvae                 classic two-level VQ-VAE
+vqvae_topk            VQVAE_topk
+vqvae_topk_res        VQVAE_topk_res
+vqvae_twostream       VQVAETopKTwoStream
+====================  =========================================================
+
+``build_model(cfg)`` mirrors ``get_model(const)``: in training mode it also
+returns the PixelDiscriminator and the frozen FlowNet2-SD teacher
+(models/__init__.py:117-126).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..configs import DISC_FILTERS, NetConfig
+from .blocks import UNet
+from .discriminator import PixelDiscriminator
+from .flownet_sd import FlowNet2SD, FlowNetSD
+from .unet_mem import (
+    AddBridge,
+    AMFTBridge,
+    ConcatBridge,
+    TwoStreamUNetMem,
+    UNetMemStream,
+)
+from .vqvae import VQVAE, VQVAETopK, VQVAETopKRes, VQVAETopKTwoStream
+
+__all__ = [
+    "UNet", "UNetMemStream", "TwoStreamUNetMem", "AMFTBridge", "ConcatBridge",
+    "AddBridge", "PixelDiscriminator", "FlowNetSD", "FlowNet2SD", "VQVAE",
+    "VQVAETopK", "VQVAETopKRes", "VQVAETopKTwoStream", "build_generator",
+    "build_model", "Model", "NET_TAGS",
+]
+
+
+def _dtype(cfg: NetConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+def _single_out(cfg: NetConfig) -> int:
+    # single-stream nets read the channel count matching their data_type
+    return cfg.out_channel[0] if cfg.data_type != "op" else cfg.out_channel[1]
+
+
+def build_generator(cfg: NetConfig, axis_name: Optional[str] = None):
+    """net_tag -> constructed flax module (reference net_map dispatch)."""
+    dt = _dtype(cfg)
+    common = dict(embed_dim=cfg.embed_dim, n_embed=cfg.n_embed, k=cfg.k,
+                  dtype=dt, axis_name=axis_name, use_pallas=cfg.use_pallas_memory)
+    tag = cfg.net_tag
+    if tag == "unet":
+        return UNet(out_channels=_single_out(cfg), dtype=dt)
+    if tag == "unet_vq_topk":
+        return UNetMemStream(out_channels=_single_out(cfg),
+                             residual_memory=False, **common)
+    if tag == "unet_vq_topk_res":
+        return UNetMemStream(out_channels=_single_out(cfg), **common)
+    if tag in ("unet_vq_twostream", "unet_vq_twostream_concat_dire",
+               "unet_vq_twostream_add_dire"):
+        bridge = {"unet_vq_twostream": "amft",
+                  "unet_vq_twostream_concat_dire": "concat_dire",
+                  "unet_vq_twostream_add_dire": "add_dire"}[tag]
+        return TwoStreamUNetMem(rgb_out=cfg.out_channel[0],
+                                op_out=cfg.out_channel[1],
+                                bridge_kind=bridge, **common)
+    vq_common = dict(embed_dim=cfg.embed_dim, n_embed=cfg.n_embed, k=cfg.k,
+                     dtype=dt, axis_name=axis_name)
+    if tag == "vqvae":
+        return VQVAE(out_channel=_single_out(cfg), **vq_common)
+    if tag == "vqvae_topk":
+        return VQVAETopK(out_channel=_single_out(cfg), **vq_common)
+    if tag == "vqvae_topk_res":
+        return VQVAETopKRes(out_channel=_single_out(cfg), **vq_common)
+    if tag == "vqvae_twostream":
+        return VQVAETopKTwoStream(rgb_out=cfg.out_channel[0],
+                                  op_out=cfg.out_channel[1], **vq_common)
+    raise ValueError(f"unknown net_tag {tag!r}")
+
+
+NET_TAGS = (
+    "unet", "unet_vq_topk", "unet_vq_topk_res", "unet_vq_twostream",
+    "unet_vq_twostream_concat_dire", "unet_vq_twostream_add_dire",
+    "vqvae", "vqvae_topk", "vqvae_topk_res", "vqvae_twostream",
+)
+
+
+@dataclass
+class Model:
+    """Holder mirroring the reference Model struct (models/__init__.py:149):
+    generator + (training-only) discriminator and frozen flow teacher."""
+
+    generator: Any
+    discriminator: Optional[PixelDiscriminator] = None
+    flow_network: Optional[FlowNet2SD] = None
+
+
+def build_model(cfg: NetConfig, mode: str = "testing",
+                axis_name: Optional[str] = None) -> Model:
+    gen = build_generator(cfg, axis_name=axis_name)
+    if mode != "training":
+        return Model(generator=gen)
+    return Model(
+        generator=gen,
+        discriminator=PixelDiscriminator(num_filters=DISC_FILTERS,
+                                         dtype=_dtype(cfg)),
+        flow_network=FlowNet2SD(dtype=_dtype(cfg)),
+    )

@@ -1,20 +1,33 @@
-"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+"""Test harness: force an 8-device virtual CPU mesh.
 
-All sharding/pjit tests run against this virtual mesh; the driver separately
-dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip.
+This environment's sitecustomize registers the axon TPU backend at
+interpreter start (before any conftest code runs), so JAX_PLATFORMS=cpu
+alone cannot win.  Instead we set the virtual-device XLA flag (the CPU
+backend initializes lazily, so this still takes effect) and pin JAX's
+default device to CPU; mesh tests use jax.devices('cpu') explicitly via the
+``cpu_mesh_devices`` fixture.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
+@pytest.fixture(scope="session")
+def cpu_mesh_devices():
+    devices = jax.devices("cpu")
+    assert len(devices) >= 8, "expected 8 virtual CPU devices"
+    return devices[:8]
 
 GOLDEN_DIR = "/root/reference/Code/ammcnet_os/model_result_save"
 
