@@ -59,11 +59,17 @@ def _single_out(cfg: NetConfig) -> int:
     return cfg.out_channel[0] if cfg.data_type != "op" else cfg.out_channel[1]
 
 
-def build_generator(cfg: NetConfig, axis_name: Optional[str] = None):
-    """net_tag -> constructed flax module (reference net_map dispatch)."""
+def build_generator(cfg: NetConfig, axis_name: Optional[str] = None,
+                    per_sample_diff: bool = False):
+    """net_tag -> constructed flax module (reference net_map dispatch).
+
+    ``per_sample_diff=True`` makes the memory blocks emit per-frame commit
+    distances (for the fused scorer) instead of batch-mean scalars.
+    """
     dt = _dtype(cfg)
     common = dict(embed_dim=cfg.embed_dim, n_embed=cfg.n_embed, k=cfg.k,
-                  dtype=dt, axis_name=axis_name, use_pallas=cfg.use_pallas_memory)
+                  dtype=dt, axis_name=axis_name, use_pallas=cfg.use_pallas_memory,
+                  per_sample_diff=per_sample_diff)
     tag = cfg.net_tag
     if tag == "unet":
         return UNet(out_channels=_single_out(cfg), dtype=dt)
@@ -112,8 +118,10 @@ class Model:
 
 
 def build_model(cfg: NetConfig, mode: str = "testing",
-                axis_name: Optional[str] = None) -> Model:
-    gen = build_generator(cfg, axis_name=axis_name)
+                axis_name: Optional[str] = None,
+                per_sample_diff: bool = False) -> Model:
+    gen = build_generator(cfg, axis_name=axis_name,
+                          per_sample_diff=per_sample_diff)
     if mode != "training":
         return Model(generator=gen)
     return Model(

@@ -33,6 +33,7 @@ class TopKMemory(nn.Module):
     eps: float = 1e-5
     axis_name: Optional[str] = None
     use_pallas: bool = False
+    per_sample_diff: bool = False
 
     @nn.compact
     def __call__(self, z: jax.Array,
@@ -59,6 +60,7 @@ class TopKMemory(nn.Module):
             z, cb, self.k, train=do_train, decay=self.decay, eps=self.eps,
             axis_name=self.axis_name,
             use_pallas=self.use_pallas and not do_train,
+            per_sample=self.per_sample_diff,
         )
         if do_train:
             embed.value = new_cb.embed
@@ -77,6 +79,7 @@ class EncQuanDecTopK(nn.Module):
     dtype: Any = jnp.bfloat16
     axis_name: Optional[str] = None
     use_pallas: bool = False
+    per_sample_diff: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -86,6 +89,7 @@ class EncQuanDecTopK(nn.Module):
         q_topk, diff, q_st = TopKMemory(
             self.embed_dim, self.n_embed, self.k,
             axis_name=self.axis_name, use_pallas=self.use_pallas,
+            per_sample_diff=self.per_sample_diff,
             name="quantize")(z, train)
         out = nn.Conv(self.in_features, (1, 1), dtype=self.dtype,
                       kernel_init=conv_init, name="dec")(q_topk.astype(self.dtype))
@@ -102,6 +106,7 @@ class EncQuanDecResTopK(nn.Module):
     dtype: Any = jnp.bfloat16
     axis_name: Optional[str] = None
     use_pallas: bool = False
+    per_sample_diff: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -109,5 +114,6 @@ class EncQuanDecResTopK(nn.Module):
         out, diff, q_st = EncQuanDecTopK(
             self.in_features, self.embed_dim, self.n_embed, self.k,
             dtype=self.dtype, axis_name=self.axis_name,
-            use_pallas=self.use_pallas, name="quan")(x, train)
+            use_pallas=self.use_pallas,
+            per_sample_diff=self.per_sample_diff, name="quan")(x, train)
         return out + x, diff, q_st

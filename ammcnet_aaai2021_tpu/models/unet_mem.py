@@ -48,6 +48,7 @@ class UNetMemStream(nn.Module):
     dtype: Any = jnp.bfloat16
     axis_name: Optional[str] = None
     use_pallas: bool = False
+    per_sample_diff: bool = False
     residual_memory: bool = True
 
     def setup(self):
@@ -58,7 +59,8 @@ class UNetMemStream(nn.Module):
         mem_cls = EncQuanDecResTopK if self.residual_memory else EncQuanDecTopK
         self.vq_down3 = mem_cls(512, self.embed_dim, self.n_embed, self.k,
                                 dtype=self.dtype, axis_name=self.axis_name,
-                                use_pallas=self.use_pallas)
+                                use_pallas=self.use_pallas,
+                                per_sample_diff=self.per_sample_diff)
         self.up1 = Up(256, self.dtype)
         self.up2 = Up(128, self.dtype)
         self.up3 = Up(64, self.dtype)
@@ -154,14 +156,15 @@ class TwoStreamUNetMem(nn.Module):
     dtype: Any = jnp.bfloat16
     axis_name: Optional[str] = None
     use_pallas: bool = False
+    per_sample_diff: bool = False
 
     def setup(self):
         self.rgb = UNetMemStream(self.rgb_out, self.embed_dim, self.n_embed,
                                  self.k, self.dtype, self.axis_name,
-                                 self.use_pallas)
+                                 self.use_pallas, self.per_sample_diff)
         self.op = UNetMemStream(self.op_out, self.embed_dim, self.n_embed,
                                 self.k, self.dtype, self.axis_name,
-                                self.use_pallas)
+                                self.use_pallas, self.per_sample_diff)
         self.bridge = _BRIDGES[self.bridge_kind](512, self.dtype)
 
     def __call__(self, rgb_x: jax.Array, op_x: jax.Array, train: bool = False):

@@ -108,6 +108,7 @@ def quantize_topk(
     axis_name: Optional[str] = None,
     use_pallas: bool = False,
     st_mode: str = "top1",
+    per_sample: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, Codebook]:
     """Top-k memory addressing.
 
@@ -158,13 +159,24 @@ def quantize_topk(
         q_topk_flat = q_topk_flat.reshape(-1, k * dim)
         q1_flat = jnp.take(codebook.embed.T, top1_idx, axis=0)
 
+    def _diff(sq_err: jax.Array) -> jax.Array:
+        # per_sample: mean over each batch element's own positions/features
+        # (the fused scorer's per-frame commit distance; the batch mean of
+        # these equals the reference's scalar diff for equal-sized frames).
+        if not per_sample:
+            return jnp.mean(sq_err)
+        per_elem = sq_err.reshape(lead_shape[0], -1) if lead_shape else sq_err
+        return jnp.mean(per_elem, axis=-1)
+
     zf = flat.astype(jnp.float32)
     if st_mode == "top1":
-        diff = jnp.mean(jnp.square(jax.lax.stop_gradient(q1_flat) - zf))
+        diff = _diff(jnp.square(jax.lax.stop_gradient(q1_flat) - zf)
+                     .reshape(*lead_shape, dim))
         q_out_flat = q_topk_flat
     else:
         z_tiled = jnp.tile(zf, (1, k))  # input.repeat(1,1,1,k), vqvae.py:312
-        diff = jnp.mean(jnp.square(jax.lax.stop_gradient(q_topk_flat) - z_tiled))
+        diff = _diff(jnp.square(jax.lax.stop_gradient(q_topk_flat) - z_tiled)
+                     .reshape(*lead_shape, k * dim))
         q_out_flat = z_tiled + jax.lax.stop_gradient(q_topk_flat - z_tiled)
     q_st_flat = zf + jax.lax.stop_gradient(q1_flat - zf)
 

@@ -1,0 +1,134 @@
+"""Test/evaluation entry point.
+
+Mirrors ``python -m Code.main.run_test`` (``Code/main/run_test.py`` +
+``constant_test.py`` + ``test_helper.evaluate_img_pred_fea_comm_twostream``):
+load the generator checkpoint, run batched two-stream scoring per sub-video,
+pickle the per-frame records in the golden schema, fuse + AUC, and print the
+reference's output format ("the optimal auc = ...").
+
+Flags mirror the reference CLI surface (--dataset_name, --exp_tag,
+--ckptfile, ...) with data paths made explicit (--data_dir) instead of
+hard-coded /p300 mounts.
+
+Usage:
+  python -m ammcnet_aaai2021_tpu.runners.run_test \
+      --dataset_name ped2 --data_dir /data --ckptfile runs/.../000080
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+import jax
+
+
+def parser_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset_name", required=True,
+                   choices=["ped2", "avenue", "shanghaitech", "toydata"])
+    p.add_argument("--data_dir", required=True,
+                   help="dataset root: <data_dir>/<dataset>/testing/{frames,flows}")
+    p.add_argument("--ckptfile", default="",
+                   help="orbax checkpoint step dir or flax .msgpack of the "
+                        "generator variables; random init if omitted (smoke)")
+    p.add_argument("--exp_tag", default="",
+                   help="resolve run dir + train-time config from the registry")
+    p.add_argument("--registry", default="runs/registry.json")
+    p.add_argument("--save_dir", default="eval_out")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--eval_type", default="img_pred_fea_comm_rgb_auc")
+    p.add_argument("--lam_fea_comm", type=float, default=None)
+    p.add_argument("--lam_smooth", type=float, default=None)
+    p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--fix_flow_bug", action="store_true",
+                   help="use the corrected flow-channel loader (default "
+                        "reproduces the reference bug for ckpt parity)")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> dict:
+    args = parser_args(argv)
+    from ..configs import FUSION_LAMBDAS, preset
+    from ..eval.gt import GroundTruthLoader
+    from ..eval.infer import score_dataset
+    from ..eval.scoring import img_pred_fea_comm_auc
+    from ..models import build_model
+    from ..train.checkpoint import load_msgpack, restore_checkpoint
+    from ..utils.logging_utils import get_logger
+    from ..utils.registry import load_run_config, resolve_run
+
+    logger = get_logger("run_test", os.path.join(args.save_dir, "log_dir"))
+
+    if args.exp_tag:
+        run_dir = resolve_run(args.registry, args.exp_tag)
+        cfg = load_run_config(run_dir)
+        logger.info("resolved exp_tag %s -> %s", args.exp_tag, run_dir)
+    else:
+        cfg = preset(args.dataset_name, mode="testing", data_dir=args.data_dir)
+    if args.image_size:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, net=dataclasses.replace(cfg.net, image_size=args.image_size),
+            data=dataclasses.replace(cfg.data, image_size=args.image_size))
+
+    model = build_model(cfg.net, mode="testing", per_sample_diff=True)
+    gen = model.generator
+
+    size = cfg.data.image_size
+    rgb_shape = (1, size, size, cfg.net.in_channel[0])
+    op_shape = (1, size, size, cfg.net.in_channel[1])
+    import jax.numpy as jnp
+
+    variables = gen.init({"params": jax.random.PRNGKey(cfg.seed)},
+                         jnp.zeros(rgb_shape), jnp.zeros(op_shape))
+    if args.ckptfile:
+        if args.ckptfile.endswith(".msgpack"):
+            variables = load_msgpack(args.ckptfile, variables)
+        else:
+            restored = restore_checkpoint(os.path.dirname(args.ckptfile),
+                                          {"generator": variables},
+                                          step=int(os.path.basename(args.ckptfile)))
+            variables = restored["generator"]
+        logger.info("loaded checkpoint %s", args.ckptfile)
+    else:
+        logger.warning("no --ckptfile: scoring with RANDOM weights (smoke run)")
+
+    rgb_root = os.path.join(args.data_dir, args.dataset_name, "testing", "frames")
+    op_root = os.path.join(args.data_dir, args.dataset_name, "testing", "flows")
+    result, fps = score_dataset(
+        gen, variables, rgb_root, op_root, args.dataset_name,
+        clip_len_rgb=cfg.data.clip_length_rgb,
+        clip_len_op=cfg.data.clip_length_op,
+        batch_size=args.batch_size, image_size=size,
+        reproduce_flow_bug=not args.fix_flow_bug, logger=logger)
+
+    pickle_dir = os.path.join(args.save_dir, args.eval_type, "save_pickle")
+    os.makedirs(pickle_dir, exist_ok=True)
+    pickle_path = os.path.join(pickle_dir, args.dataset_name)
+    with open(pickle_path, "wb") as fh:
+        pickle.dump(result, fh, pickle.HIGHEST_PROTOCOL)
+    logger.info("records pickled to %s", pickle_path)
+
+    lam = FUSION_LAMBDAS.get(args.dataset_name, (0.01, 0.55))
+    if args.lam_fea_comm is not None:
+        lam = (args.lam_fea_comm, lam[1])
+    if args.lam_smooth is not None:
+        lam = (lam[0], args.lam_smooth)
+    lengths = [len(a) for a in result["rgb_img_pred_records"]]
+    gt = GroundTruthLoader(args.data_dir)(args.dataset_name,
+                                          video_lengths=lengths)
+    auc = img_pred_fea_comm_auc(result, gt, lam)
+    print("=" * 80)
+    print("the optimal loss_file is: ", pickle_path)
+    print("the optimal auc = ", round(auc, 3))
+    print(f"inference fps = {fps:.3f}")
+    print("=" * 80)
+    return {"auc": auc, "fps": fps, "pickle": pickle_path}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""Training entry point.
+
+Mirrors ``python -m Code.main.run_train`` (``Code/main/run_train.py`` +
+``constant_train.py``): flag surface (--dataset_name, --net_tag, --loss_tag,
+--data_type, --exp_tag, --pretrain, ...), dispatching stage 2
+(``train_from_multi_pretain``: rgb_op joint training, optionally grafting
+stage-1 branch checkpoints) vs stage 1 (``train_base``: single-stream
+pretrain).  Fixes the reference's broken wiring (get_helper had no training
+branch, SURVEY.md 2.3.2) — training works out of the box here.
+
+Stage 1 (rgb):  --net_tag unet_vq_topk_res --loss_tag rgb_int_gdl_flow_adv_vq --data_type rgb
+Stage 1 (op):   --net_tag unet_vq_topk_res --loss_tag op_int_adv_vq --data_type op
+Stage 2:        --net_tag unet_vq_twostream --loss_tag twostream_vq --data_type rgb_op \
+                [--pretrain --rgb_model_path ... --op_model_path ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+
+def parser_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset_name", required=True)
+    p.add_argument("--data_dir", required=True,
+                   help="root: <data_dir>/<dataset>/training/{frames,flows}")
+    p.add_argument("--net_tag", default="unet_vq_twostream")
+    p.add_argument("--loss_tag", default="twostream_vq")
+    p.add_argument("--data_type", default="rgb_op",
+                   choices=["rgb", "op", "rgb_op"])
+    p.add_argument("--exp_tag", default="")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--iterations", type=int, default=80000)
+    p.add_argument("--lr_g", type=float, default=2e-4)
+    p.add_argument("--lr_d", type=float, default=2e-5)
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--embed_dim", type=int, default=64)
+    p.add_argument("--n_embed", type=int, default=256)
+    p.add_argument("--k", type=int, default=2)
+    p.add_argument("--pretrain", action="store_true",
+                   help="graft stage-1 branch checkpoints (stage 2)")
+    p.add_argument("--rgb_model_path", default="",
+                   help="stage-1 rgb ckpt (orbax step dir or torch .pth)")
+    p.add_argument("--op_model_path", default="")
+    p.add_argument("--flownet_ckpt", default="",
+                   help="FlowNet2-SD torch .pth (random init + warning if "
+                        "absent; the flow loss is observational either way)")
+    p.add_argument("--fix_branches", action="store_true",
+                   help="freeze rgb/op branches, train bridge only")
+    p.add_argument("--save_dir", default="runs")
+    p.add_argument("--registry", default="runs/registry.json")
+    p.add_argument("--seed", type=int, default=20200525)
+    p.add_argument("--step_log", type=int, default=10)
+    p.add_argument("--step_summary", type=int, default=100)
+    p.add_argument("--step_save", type=int, default=1000)
+    p.add_argument("--aligned_sampling", action="store_true", default=True)
+    p.add_argument("--unaligned_sampling", dest="aligned_sampling",
+                   action="store_false",
+                   help="reproduce the reference's independent rgb/op clip "
+                        "sampling (two_stream_dataset.py:466-470)")
+    return p.parse_args(argv)
+
+
+def _load_branch(path: str, net_tag: str, target_vars):
+    """Load a stage-1 checkpoint: torch .pth (converted) or orbax dir."""
+    from ..tools.torch_convert import convert_pth
+    from ..train.checkpoint import load_msgpack, restore_checkpoint
+
+    if path.endswith(".pth"):
+        return convert_pth(path, net_tag)
+    if path.endswith(".msgpack"):
+        return load_msgpack(path, target_vars)
+    return restore_checkpoint(os.path.dirname(path), {"generator": target_vars},
+                              step=int(os.path.basename(path)))["generator"]
+
+
+def main(argv=None):
+    args = parser_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..configs import (
+        DataConfig, ExperimentConfig, LossConfig, NetConfig, OptimConfig)
+    from ..data.datasets import (
+        ClipLoader, SingleStreamTrainSampler, TwoStreamTrainSampler,
+        VideoIndex)
+    from ..models import PixelDiscriminator, build_generator
+    from ..models.flownet_sd import FlowNet2SD
+    from ..models.vqvae import bridge_only_mask
+    from ..ops.metrics import psnr_error
+    from ..train.loop import train_loop
+    from ..train.optim import make_optimizers
+    from ..train.state import create_train_state, graft_branches
+    from ..train.steps import (
+        make_single_stream_train_step, make_twostream_train_step)
+    from ..utils.logging_utils import get_logger
+    from ..utils.registry import register_run
+
+    size = args.image_size
+    net = NetConfig(net_tag=args.net_tag, data_type=args.data_type,
+                    embed_dim=args.embed_dim, n_embed=args.n_embed, k=args.k,
+                    image_size=size)
+    data = DataConfig(
+        dataset_name=args.dataset_name, data_type=args.data_type,
+        rgb_root=os.path.join(args.data_dir, args.dataset_name, "training",
+                              "frames"),
+        op_root=os.path.join(args.data_dir, args.dataset_name, "training",
+                             "flows"),
+        image_size=size, aligned_two_stream_sampling=args.aligned_sampling)
+    loss_cfg = LossConfig(loss_tag=args.loss_tag)
+    optim = OptimConfig(lr_g=args.lr_g, lr_d=args.lr_d,
+                        iterations=args.iterations,
+                        batch_size=args.batch_size,
+                        fix_branches=args.fix_branches)
+    cfg = ExperimentConfig(net=net, data=data, loss=loss_cfg, optim=optim,
+                           exp_tag=args.exp_tag or
+                           f"{args.net_tag}-{args.dataset_name}-{args.data_type}",
+                           save_dir=args.save_dir, seed=args.seed,
+                           mode="training")
+    run_dir = register_run(args.registry, cfg)
+    logger = get_logger("run_train", os.path.join(run_dir, "log_dir"))
+    logger.info("run dir: %s", run_dir)
+
+    two_stream = args.data_type == "rgb_op"
+    ch = {"rgb": 3, "op": 2}
+    gen = build_generator(net)
+    d_channels = 3 if args.data_type in ("rgb", "rgb_op") else 2
+    disc = PixelDiscriminator()
+    flownet = FlowNet2SD()
+    rng = jax.random.PRNGKey(args.seed)
+
+    uses_flow = "flow" in args.loss_tag or two_stream
+    flow_vars = None
+    if uses_flow:
+        flow_vars = flownet.init({"params": jax.random.fold_in(rng, 7)},
+                                 jnp.zeros((1, size, size, 3, 2)))
+        if args.flownet_ckpt:
+            from ..tools.torch_convert import convert_flownet_sd
+
+            flow_vars = convert_flownet_sd(args.flownet_ckpt)
+            logger.info("loaded FlowNet2-SD from %s", args.flownet_ckpt)
+        else:
+            logger.warning("no --flownet_ckpt: FlowNet teacher is randomly "
+                           "initialized (flow loss is observational)")
+
+    g_mask = None
+    if args.fix_branches:
+        # build mask lazily after init (needs the params tree)
+        pass
+    g_tx, d_tx = make_optimizers(optim)
+
+    if two_stream:
+        t_rgb, t_op = 4, 3
+        state = create_train_state(
+            gen, disc, g_tx, d_tx, rng,
+            rgb_shape=(args.batch_size, size, size, t_rgb * 3),
+            op_shape=(args.batch_size, size, size, t_op * 2),
+            d_input_channels=3)
+        if args.fix_branches:
+            mask = {k: k == "bridge" for k in state.g_params}
+            g_tx, d_tx = make_optimizers(optim, g_mask=mask)
+            state = dataclasses.replace(state,
+                                        g_opt_state=g_tx.init(state.g_params))
+        if args.pretrain:
+            assert args.rgb_model_path and args.op_model_path, \
+                "--pretrain needs --rgb_model_path and --op_model_path"
+            rgb_vars = _load_branch(args.rgb_model_path, "unet_vq_topk_res",
+                                    None)
+            op_vars = _load_branch(args.op_model_path, "unet_vq_topk_res",
+                                   None)
+            g_params = graft_branches(state.g_params, rgb_vars["params"],
+                                      op_vars["params"])
+            g_state = {
+                col: graft_branches(state.g_state[col],
+                                    rgb_vars.get(col, {}),
+                                    op_vars.get(col, {}))
+                for col in state.g_state
+            }
+            state = dataclasses.replace(state, g_params=g_params,
+                                        g_state=g_state)
+            logger.info("grafted stage-1 branches from %s / %s",
+                        args.rgb_model_path, args.op_model_path)
+        step_fn = jax.jit(make_twostream_train_step(
+            gen, disc, flownet, loss_cfg, g_tx, d_tx))
+
+        sampler = TwoStreamTrainSampler(
+            VideoIndex(data.rgb_root), VideoIndex(data.op_root),
+            clip_len_rgb=5, clip_len_op=4,
+            aligned=args.aligned_sampling, image_size=size,
+            reproduce_flow_bug=data.reproduce_flow_channel_bug)
+
+        def batches():
+            while True:
+                b = sampler.batch(args.batch_size)
+                yield {k: jnp.asarray(v) for k, v in b.items()}
+
+        def psnr_fn(state, batch):
+            variables = {"params": state.g_params, **state.g_state}
+            rgb = batch["rgb"]
+            pred, _, _, _ = gen.apply(variables, rgb[..., :-3],
+                                      batch["op"][..., :-2], False)
+            return psnr_error(pred, rgb[..., -3:])
+
+    else:
+        c = ch[args.data_type]
+        t = 4 if args.data_type == "rgb" else 3
+        state = create_train_state(
+            gen, disc, g_tx, d_tx, rng,
+            rgb_shape=(args.batch_size, size, size, t * c),
+            d_input_channels=c)
+        step_fn = jax.jit(make_single_stream_train_step(
+            gen, disc, flownet, loss_cfg, g_tx, d_tx,
+            data_type=args.data_type))
+        root = data.rgb_root if args.data_type == "rgb" else data.op_root
+        sampler = SingleStreamTrainSampler(
+            VideoIndex(root), t + 1,
+            ClipLoader(args.data_type, size, data.reproduce_flow_channel_bug))
+
+        def batches():
+            while True:
+                yield jnp.asarray(sampler.batch(args.batch_size))
+
+        def psnr_fn(state, batch):
+            variables = {"params": state.g_params, **state.g_state}
+            pred, _, _ = gen.apply(variables, batch[..., :-c], False)
+            return psnr_error(pred, batch[..., -c:])
+
+    state = train_loop(state, step_fn, batches(), flow_vars,
+                       args.iterations, run_dir, logger=logger,
+                       psnr_fn=jax.jit(psnr_fn), step_log=args.step_log,
+                       step_summary=args.step_summary,
+                       step_save=args.step_save)
+    logger.info("training done at step %d", int(state.step))
+    return run_dir
+
+
+if __name__ == "__main__":
+    main()

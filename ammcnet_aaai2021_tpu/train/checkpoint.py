@@ -1,0 +1,69 @@
+"""Orbax checkpointing.
+
+Replaces the reference's ``torch.save(state_dict)`` every 1000 steps +
+filename-sort latest-loading (``Code/utils/utils.py:182-203``) with orbax
+checkpoints of the FULL training state — generator params, BatchNorm
+statistics, EMA codebook state, discriminator params, both optimizer states,
+and the step counter.  (The reference never checkpointed optimizer state;
+resume there silently reset Adam moments.)
+
+Layout: ``<ckpt_dir>/<step>/`` per orbax convention; ``latest_step`` mirrors
+the reference's step_NNNNNN.pth sort.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: Any) -> str:
+    """Save a pytree under <ckpt_dir>/<step:06d>."""
+    path = os.path.join(os.path.abspath(ckpt_dir), f"{step:06d}")
+    ckpt = _checkpointer()
+    ckpt.save(path, state, force=True)
+    ckpt.wait_until_finished()
+    return path
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(ckpt_dir: str, target: Any,
+                       step: Optional[int] = None) -> Any:
+    """Restore the given (or latest) step into the target pytree structure."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
+    path = os.path.join(os.path.abspath(ckpt_dir), f"{step:06d}")
+    return _checkpointer().restore(path, target=target)
+
+
+def save_msgpack(path: str, variables: Any) -> None:
+    """Single-file msgpack serialization (for converted torch weights and
+    small fixtures; flax-native)."""
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(serialization.to_bytes(variables))
+
+
+def load_msgpack(path: str, target: Any) -> Any:
+    from flax import serialization
+
+    with open(path, "rb") as fh:
+        return serialization.from_bytes(target, fh.read())

@@ -1,0 +1,148 @@
+"""Training orchestration: the epoch/step loop around the jitted steps.
+
+Rebuild of the reference helpers (``Code/run_helper/train_helper.py``):
+``train_from_multi_pretain`` (stage 2, :217-427) and ``train_base``
+(stage 1, :1323-1850) — periodic loss/PSNR logging every ``STEP_LOG``,
+scalar summaries every ``STEP_SUMMARY``, checkpoints every
+``STEP_SAVE_CKPT``, per-iteration LR schedule (inside the optax schedule),
+host-side data prefetch overlapping the device step.
+
+Observability: scalars go to a CSV (TensorBoard-compatible via
+``torch.utils.tensorboard`` when available — the reference used tensorboardX)
+plus the rotating-file logger.  Flow images render through the Middlebury
+color wheel like the reference's summary grids.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import queue
+import threading
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..configs import STEP_LOG, STEP_SAVE_CKPT, STEP_SUMMARY
+from ..ops.metrics import psnr_error
+from .checkpoint import save_checkpoint
+
+
+class ScalarWriter:
+    """CSV scalar sink; mirrors the reference's tensorboardX scalars and adds
+    a greppable on-disk format.  Optionally tees to TensorBoard."""
+
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self._csv_path = os.path.join(log_dir, "scalars.csv")
+        self._csv = open(self._csv_path, "a", newline="")
+        self._writer = csv.writer(self._csv)
+        if os.path.getsize(self._csv_path) == 0:
+            self._writer.writerow(["step", "tag", "value"])
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir)
+            except Exception:
+                self._tb = None
+
+    def scalars(self, step: int, values: Dict[str, float]) -> None:
+        for tag, val in values.items():
+            self._writer.writerow([step, tag, float(val)])
+            if self._tb is not None:
+                self._tb.add_scalar(tag, float(val), step)
+        self._csv.flush()
+
+    def close(self) -> None:
+        self._csv.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def prefetch(batch_iter: Iterator, depth: int = 2) -> Iterator:
+    """Host-thread prefetch so data assembly overlaps the device step
+    (replaces the reference's DataLoader(num_workers=16) processes)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in batch_iter:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+def train_loop(
+    state,
+    train_step: Callable,
+    batch_iter: Iterator,
+    flow_vars,
+    iterations: int,
+    run_dir: str,
+    logger=None,
+    psnr_fn: Optional[Callable] = None,
+    step_log: int = STEP_LOG,
+    step_summary: int = STEP_SUMMARY,
+    step_save: int = STEP_SAVE_CKPT,
+):
+    """Generic loop used by both stages.  ``psnr_fn(state, batch)`` computes
+    the train-PSNR the reference logs every step_log (train_helper.py:347-386).
+    Returns the final state."""
+    writer = ScalarWriter(os.path.join(run_dir, "summary"))
+    ckpt_dir = os.path.join(run_dir, "training", "checkpoints")
+    t_data0 = time.time()
+    step_times, data_times = [], []
+    for batch in prefetch(batch_iter):
+        data_times.append(time.time() - t_data0)
+        t0 = time.time()
+        state, metrics = train_step(state, batch, flow_vars)
+        step = int(state.step)
+        if step % step_log == 0:
+            jax.block_until_ready(metrics)
+        step_times.append(time.time() - t0)
+        if step % step_log == 0:
+            vals = {k: float(v) for k, v in metrics.items()}
+            if psnr_fn is not None:
+                vals["train_psnr"] = float(psnr_fn(state, batch))
+            if logger:
+                comps = ", ".join(f"{k}={v:.4f}" for k, v in vals.items())
+                logger.info(
+                    "step %d | %s | step_time=%.3fs data_time=%.3fs",
+                    step, comps, np.mean(step_times[-step_log:]),
+                    np.mean(data_times[-step_log:]))
+        if step % step_summary == 0:
+            writer.scalars(step, {k: float(v) for k, v in metrics.items()})
+        if step % step_save == 0:
+            save_checkpoint(ckpt_dir, step, jax.device_get(
+                jax.tree.map(np.asarray, _state_to_pytree(state))))
+            if logger:
+                logger.info("checkpoint saved at step %d", step)
+        t_data0 = time.time()
+        if step >= iterations:
+            break
+    writer.close()
+    return state
+
+
+def _state_to_pytree(state) -> Dict:
+    """flax struct dataclass -> plain dict for orbax."""
+    return {
+        "step": state.step,
+        "g_params": state.g_params,
+        "g_state": state.g_state,
+        "g_opt_state": state.g_opt_state,
+        "d_params": state.d_params,
+        "d_opt_state": state.d_opt_state,
+    }

@@ -1,0 +1,122 @@
+"""End-to-end inference benchmark: frames/sec/chip on a ped2-shaped test set.
+
+Measures the BASELINE north-star — the full test-time path of
+``run_test`` on one TPU chip: JPEG decode + resize + flow load on host
+(threaded, overlapped with device work), one upload per video, on-device
+window assembly + normalize + two-stream forward + memory addressing +
+per-frame PSNR/commit scoring, and per-video record assembly.
+
+Ped2-shaped: 12 videos x 180 frames of 256x256 RGB (synthesized, JPEG-encoded
+in RAM and *decoded in the timed loop* like the reference's pipeline does
+from disk) + per-video flow fields.  Reference baseline: 17.597 fps on the
+authors' GPU (img/ped2.png via BASELINE.md), wall-clock including data
+loading and their per-frame host PSNR loop.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 17.597  # reference ped2 inference fps (BASELINE.md)
+NUM_VIDEOS = 12
+FRAMES_PER_VIDEO = 180
+SIZE = 256
+WINDOW_BATCH = 32
+
+
+def synth_ped2_shaped(rng: np.random.Generator):
+    """12 videos of JPEG bytes + flow arrays, ped2-shaped, in RAM."""
+    import cv2
+
+    videos = []
+    for _ in range(NUM_VIDEOS):
+        jpegs = []
+        base = rng.integers(0, 200, (SIZE, SIZE, 3), np.uint8)
+        for t in range(FRAMES_PER_VIDEO):
+            frame = np.roll(base, t, axis=1)
+            ok, buf = cv2.imencode(".jpg", frame)
+            assert ok
+            jpegs.append(buf.tobytes())
+        flows = rng.normal(0, 0.02, (FRAMES_PER_VIDEO - 1, SIZE, SIZE, 2)
+                           ).astype(np.float32)
+        videos.append((jpegs, flows))
+    return videos
+
+
+def main() -> None:
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from ammcnet_aaai2021_tpu.configs import NetConfig
+    from ammcnet_aaai2021_tpu.eval.infer import (
+        _assemble_records, make_video_scorer, score_video_arrays)
+    from ammcnet_aaai2021_tpu.models import build_generator
+
+    rng = np.random.default_rng(0)
+    videos = synth_ped2_shaped(rng)
+
+    cfg = NetConfig()  # released config: bf16 compute, Pallas memory kernel
+    gen = build_generator(cfg, per_sample_diff=True)
+    variables = gen.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((1, SIZE, SIZE, 12)),
+                         jnp.zeros((1, SIZE, SIZE, 6)))
+    scorer = make_video_scorer(gen, variables, window_batch=WINDOW_BATCH)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=8)
+
+    def decode_video(video):
+        jpegs, flows = video
+        frames = list(pool.map(
+            lambda b: cv2.cvtColor(
+                cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR),
+                cv2.COLOR_BGR2RGB),
+            jpegs))
+        return np.stack(frames), flows
+
+    # warm-up: compile the window scorer once
+    host = decode_video(videos[0])
+    _ = score_video_arrays(scorer, *host, 5, WINDOW_BATCH)
+
+    from ammcnet_aaai2021_tpu.eval.infer import (
+        gather_video_scores, launch_video_scoring, upload_video)
+
+    t0 = time.perf_counter()
+    total_frames = 0
+    # pipeline: decode(i+1) on host threads || upload(i+1) || compute(i)
+    next_decoded = pool.submit(decode_video, videos[0])
+    v_rgb, v_op = upload_video(*next_decoded.result())
+    next_decoded = pool.submit(decode_video, videos[1])
+    n_windows = FRAMES_PER_VIDEO - 5 + 1
+    for vi in range(NUM_VIDEOS):
+        launched = launch_video_scoring(scorer, v_rgb, v_op, n_windows,
+                                        WINDOW_BATCH)
+        if vi + 1 < NUM_VIDEOS:
+            v_rgb, v_op = upload_video(*next_decoded.result())
+            if vi + 2 < NUM_VIDEOS:
+                next_decoded = pool.submit(decode_video, videos[vi + 2])
+        rgb_psnr, rgb_fea, op_psnr, op_fea = gather_video_scores(*launched)
+        _assemble_records(rgb_psnr, FRAMES_PER_VIDEO, 5)
+        _assemble_records(rgb_fea, FRAMES_PER_VIDEO, 5)
+        _assemble_records(op_psnr, FRAMES_PER_VIDEO, 4)
+        _assemble_records(op_fea, FRAMES_PER_VIDEO, 4)
+        total_frames += len(rgb_psnr)
+    elapsed = time.perf_counter() - t0
+    fps = total_frames / elapsed
+    print(json.dumps({
+        "metric": "ped2_inference_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

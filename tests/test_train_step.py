@@ -1,0 +1,218 @@
+"""Train-step tests: one jitted step runs, losses are finite and decrease on
+a fixed batch, state/codebook/BN all update, branch grafting works, and the
+data-parallel step over the 8-device CPU mesh matches expectations.
+
+Shapes are 64x64 — the smallest FlowNetSD supports (6 stride-2 encoder
+levels); only conv sizes change vs the real 256x256.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ammcnet_aaai2021_tpu.configs import LossConfig, NetConfig, OptimConfig
+from ammcnet_aaai2021_tpu.models import (
+    PixelDiscriminator,
+    build_generator,
+)
+from ammcnet_aaai2021_tpu.models.flownet_sd import FlowNet2SD
+from ammcnet_aaai2021_tpu.train.optim import make_optimizers
+from ammcnet_aaai2021_tpu.train.state import (
+    AMMCTrainState,
+    create_train_state,
+    graft_branches,
+)
+from ammcnet_aaai2021_tpu.train.steps import (
+    make_single_stream_train_step,
+    make_twostream_train_step,
+)
+
+SIZE = 64
+
+
+def small_net(tag="unet_vq_twostream"):
+    return NetConfig(net_tag=tag, dtype="float32", use_pallas_memory=False)
+
+
+@pytest.fixture(scope="module")
+def twostream_setup():
+    cfg = small_net()
+    gen = build_generator(cfg)
+    disc = PixelDiscriminator(dtype=jnp.float32)
+    flownet = FlowNet2SD(dtype=jnp.float32)
+    loss_cfg = LossConfig(loss_tag="twostream_vq")
+    g_tx, d_tx = make_optimizers(OptimConfig(lr_g=1e-3, lr_d=1e-4))
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(
+        gen, disc, g_tx, d_tx, rng,
+        rgb_shape=(2, SIZE, SIZE, 12), op_shape=(2, SIZE, SIZE, 6))
+    flow_vars = flownet.init({"params": jax.random.PRNGKey(9)},
+                             jnp.zeros((2, SIZE, SIZE, 3, 2)))
+    step_fn = jax.jit(make_twostream_train_step(
+        gen, disc, flownet, loss_cfg, g_tx, d_tx))
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "rgb": jnp.asarray(rng_np.uniform(-1, 1, (2, SIZE, SIZE, 15))
+                           .astype(np.float32)),
+        "op": jnp.asarray(rng_np.uniform(-1, 1, (2, SIZE, SIZE, 8))
+                          .astype(np.float32)),
+    }
+    return state, step_fn, batch, flow_vars
+
+
+class TestTwoStreamStep:
+    def test_one_step_runs_and_metrics_finite(self, twostream_setup):
+        state, step_fn, batch, flow_vars = twostream_setup
+        new_state, metrics = step_fn(state, batch, flow_vars)
+        assert int(new_state.step) == 1
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+        assert {"g_loss", "d_loss", "g_adv_loss", "g_flow_loss", "g_int_loss",
+                "g_gd_loss", "g_int_loss_op", "g_latent_loss"} <= set(metrics)
+
+    def test_params_and_state_update(self, twostream_setup):
+        state, step_fn, batch, flow_vars = twostream_setup
+        new_state, _ = step_fn(state, batch, flow_vars)
+        # conv params moved
+        old = jax.tree.leaves(state.g_params)[0]
+        new = jax.tree.leaves(new_state.g_params)[0]
+        assert not np.allclose(np.asarray(old), np.asarray(new))
+        # codebook EMA moved
+        old_cs = state.g_state["codebook"]["rgb"]["vq_down3"]["quan"][
+            "quantize"]["cluster_size"]
+        new_cs = new_state.g_state["codebook"]["rgb"]["vq_down3"]["quan"][
+            "quantize"]["cluster_size"]
+        assert not np.allclose(np.asarray(old_cs), np.asarray(new_cs))
+        # discriminator moved
+        old_d = jax.tree.leaves(state.d_params)[0]
+        new_d = jax.tree.leaves(new_state.d_params)[0]
+        assert not np.allclose(np.asarray(old_d), np.asarray(new_d))
+
+    def test_loss_decreases_on_fixed_batch(self, twostream_setup):
+        state, step_fn, batch, flow_vars = twostream_setup
+        first = None
+        for i in range(8):
+            state, metrics = step_fn(state, batch, flow_vars)
+            if first is None:
+                first = float(metrics["g_int_loss"])
+        assert float(metrics["g_int_loss"]) < first
+
+    def test_flow_loss_carries_no_gradient(self, twostream_setup):
+        # faithful .detach(): lam_flow must not change g_grads
+        state, _, batch, flow_vars = twostream_setup
+        from ammcnet_aaai2021_tpu.models.flownet_sd import FlowNet2SD
+
+        cfg = small_net()
+        gen = build_generator(cfg)
+        disc = PixelDiscriminator(dtype=jnp.float32)
+        flownet = FlowNet2SD(dtype=jnp.float32)
+        g_tx, d_tx = make_optimizers(OptimConfig())
+
+        grads = []
+        for lam_flow in (0.0, 10.0):
+            loss_cfg = LossConfig(loss_tag="twostream_vq", lam_flow=lam_flow)
+            step_fn = jax.jit(make_twostream_train_step(
+                gen, disc, flownet, loss_cfg, g_tx, d_tx))
+            new_state, _ = step_fn(state, batch, flow_vars)
+            grads.append(jax.tree.leaves(new_state.g_params)[0])
+        np.testing.assert_allclose(np.asarray(grads[0]), np.asarray(grads[1]),
+                                   atol=1e-7)
+
+
+class TestSingleStreamStep:
+    @pytest.mark.parametrize("tag,loss_tag,ch", [
+        ("unet_vq_topk_res", "rgb_int_gdl_flow_adv_vq", 3),
+        ("unet_vq_topk_res", "op_int_adv_vq", 2),
+    ])
+    def test_stage1_recipes(self, tag, loss_tag, ch):
+        data_type = "rgb" if ch == 3 else "op"
+        cfg = NetConfig(net_tag=tag, dtype="float32", use_pallas_memory=False,
+                        data_type=data_type)
+        gen = build_generator(cfg)
+        disc = PixelDiscriminator(dtype=jnp.float32)
+        flownet = FlowNet2SD(dtype=jnp.float32)
+        loss_cfg = LossConfig(loss_tag=loss_tag)
+        g_tx, d_tx = make_optimizers(OptimConfig())
+        rng = jax.random.PRNGKey(0)
+        t = 4 if ch == 3 else 3
+        state = create_train_state(
+            gen, disc, g_tx, d_tx, rng,
+            rgb_shape=(2, SIZE, SIZE, t * ch), d_input_channels=ch)
+        flow_vars = (flownet.init({"params": jax.random.PRNGKey(9)},
+                                  jnp.zeros((2, SIZE, SIZE, 3, 2)))
+                     if "flow" in loss_tag else None)
+        step_fn = jax.jit(make_single_stream_train_step(
+            gen, disc, flownet, loss_cfg, g_tx, d_tx, data_type=data_type))
+        rng_np = np.random.default_rng(1)
+        batch = jnp.asarray(rng_np.uniform(
+            -1, 1, (2, SIZE, SIZE, (t + 1) * ch)).astype(np.float32))
+        new_state, metrics = step_fn(state, batch, flow_vars)
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["g_loss"]))
+
+
+class TestGrafting:
+    def test_graft_branches_mounts_pretrained(self):
+        cfg = small_net()
+        two = build_generator(cfg)
+        single_rgb = build_generator(NetConfig(net_tag="unet_vq_topk_res",
+                                               dtype="float32",
+                                               use_pallas_memory=False))
+        single_op = build_generator(NetConfig(net_tag="unet_vq_topk_res",
+                                              dtype="float32",
+                                              use_pallas_memory=False,
+                                              data_type="op",
+                                              out_channel=(3, 2)))
+        k0 = jax.random.PRNGKey(0)
+        two_vars = two.init({"params": k0}, jnp.zeros((1, SIZE, SIZE, 12)),
+                            jnp.zeros((1, SIZE, SIZE, 6)))
+        rgb_vars = single_rgb.init({"params": jax.random.PRNGKey(1)},
+                                   jnp.zeros((1, SIZE, SIZE, 12)))
+        op_vars = single_op.init({"params": jax.random.PRNGKey(2)},
+                                 jnp.zeros((1, SIZE, SIZE, 6)))
+        grafted = graft_branches(two_vars["params"], rgb_vars["params"],
+                                 op_vars["params"])
+        # rgb subtree now equals the pretrained stream
+        a = jax.tree.leaves(grafted["rgb"])[0]
+        b = jax.tree.leaves(rgb_vars["params"])[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # bridge untouched
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(grafted["bridge"])[0]),
+            np.asarray(jax.tree.leaves(two_vars["params"]["bridge"])[0]))
+        # the grafted tree still powers a forward pass
+        out = two.apply({"params": grafted, **{k: v for k, v in
+                                               two_vars.items()
+                                               if k != "params"}},
+                        jnp.zeros((1, SIZE, SIZE, 12)),
+                        jnp.zeros((1, SIZE, SIZE, 6)))
+        assert out[0].shape == (1, SIZE, SIZE, 3)
+
+
+class TestDataParallelStep:
+    def test_pjit_step_over_mesh(self, twostream_setup, cpu_mesh_devices):
+        """Full train step jitted with the batch sharded over 8 devices."""
+        from ammcnet_aaai2021_tpu.parallel import (
+            make_mesh, replicate, shard_batch)
+
+        state, step_fn, _, flow_vars = twostream_setup
+        mesh = make_mesh(8, devices=cpu_mesh_devices)
+        rng_np = np.random.default_rng(5)
+        batch = {
+            "rgb": jnp.asarray(rng_np.uniform(-1, 1, (8, SIZE, SIZE, 15))
+                               .astype(np.float32)),
+            "op": jnp.asarray(rng_np.uniform(-1, 1, (8, SIZE, SIZE, 8))
+                              .astype(np.float32)),
+        }
+        sharded = shard_batch(mesh, batch)
+        state_r = replicate(mesh, state)
+        flow_r = replicate(mesh, flow_vars)
+        new_state, metrics = step_fn(state_r, sharded, flow_r)
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["g_loss"]))
+        # params stay replicated (single logical copy)
+        leaf = jax.tree.leaves(new_state.g_params)[0]
+        assert leaf.sharding.is_fully_replicated
