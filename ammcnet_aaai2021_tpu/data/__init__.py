@@ -1,3 +1,81 @@
+"""Data layer: the (data_type x mode x backend) dataset factory.
+
+Rebuild of ``Code/dataset/__init__.py:52-123`` — the reference's 12-way
+dispatch table (data_type in {rgb, op, rgb_op} x train/test x file-tree/LMDB)
+— extended with the framepack backend (the recommended packed format; see
+:mod:`ammcnet_aaai2021_tpu.data.framepack`).
+
+Testing mode returns None like the reference (:117-122): the test helper
+drives per-sub-video datasets itself (here: the fused video scorer walks the
+VideoIndex directly).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
 from .flo import read_flo, write_flo
 
-__all__ = ["read_flo", "write_flo"]
+__all__ = ["read_flo", "write_flo", "get_dataset"]
+
+
+def get_dataset(data_type: str, mode: str, which_ds: str = "normal",
+                *, rgb_root: str = "", op_root: str = "",
+                clip_len_rgb: int = 5, clip_len_op: int = 4,
+                image_size: int = 256, aligned: bool = True,
+                reproduce_flow_bug: bool = True, seed: int = 2017):
+    """(data_type, mode, backend) -> dataset/sampler object.
+
+    backends: "normal" (file tree), "lmdb", "framepack".
+    Training returns a sampler with .batch(); testing returns None (the
+    fused scorer consumes VideoIndex/FramePack directly, mirroring the
+    reference where get_dataset returns None in testing mode).
+    """
+    if mode == "testing":
+        return None
+    if mode != "training":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    if which_ds == "normal":
+        from .datasets import (
+            ClipLoader, SingleStreamTrainSampler, TwoStreamTrainSampler,
+            VideoIndex)
+
+        if data_type == "rgb_op":
+            return TwoStreamTrainSampler(
+                VideoIndex(rgb_root), VideoIndex(op_root),
+                clip_len_rgb=clip_len_rgb, clip_len_op=clip_len_op,
+                aligned=aligned, seed=seed, image_size=image_size,
+                reproduce_flow_bug=reproduce_flow_bug)
+        if data_type in ("rgb", "op"):
+            root = rgb_root if data_type == "rgb" else op_root
+            clip_len = clip_len_rgb if data_type == "rgb" else clip_len_op
+            return SingleStreamTrainSampler(
+                VideoIndex(root), clip_len,
+                ClipLoader(data_type, image_size, reproduce_flow_bug),
+                seed=seed)
+        raise ValueError(f"unknown data_type {data_type!r}")
+
+    if which_ds == "lmdb":
+        from .lmdb_data import LMDBClipTrain, LMDBTwoStreamTrain
+
+        if data_type == "rgb_op":
+            return LMDBTwoStreamTrain(rgb_root, op_root, clip_len_rgb,
+                                      clip_len_op, aligned=aligned, seed=seed)
+        root = rgb_root if data_type == "rgb" else op_root
+        clip_len = clip_len_rgb if data_type == "rgb" else clip_len_op
+        return LMDBClipTrain(root, clip_len, seed=seed)
+
+    if which_ds == "framepack":
+        from .framepack import FramePack, FramePackTrainSampler
+
+        if data_type == "rgb_op":
+            raise NotImplementedError(
+                "two-stream framepack sampling: open two packs and use "
+                "FramePackTrainSampler per stream with a shared seed")
+        root = rgb_root if data_type == "rgb" else op_root
+        clip_len = clip_len_rgb if data_type == "rgb" else clip_len_op
+        return FramePackTrainSampler(FramePack(root), clip_len, seed=seed,
+                                     normalize_rgb=data_type == "rgb")
+
+    raise ValueError(f"unknown which_ds {which_ds!r}")

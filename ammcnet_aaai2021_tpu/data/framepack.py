@@ -1,0 +1,138 @@
+"""Framepack: memory-mapped packed-frame storage.
+
+The dependency-free, TPU-host-native replacement for the reference's LMDB
+path (``Code/dataset/lmdb_dataset.py``): where LMDB pays B-tree traversal and
+per-key npz decompression for what is a strictly sequential access pattern,
+framepack stores each dataset split as ONE flat binary file of fixed-shape
+preprocessed frames plus a JSON index, and reads are zero-copy ``np.memmap``
+slices.  Whole-sub-video loads (the fused scorer's unit of work) become a
+single contiguous mmap read.
+
+File layout:
+    <name>.fpk       raw frames, C-order, concatenated video-major
+    <name>.fpk.json  {"dtype", "shape": [h, w, c], "videos": {name: [offset,
+                     n_frames]}}  (offset in frames)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class FramePackWriter:
+    def __init__(self, path: str, frame_shape: Tuple[int, int, int],
+                 dtype: str = "uint8"):
+        self.path = path
+        self.frame_shape = tuple(frame_shape)
+        self.dtype = np.dtype(dtype)
+        self._fh = open(path, "wb")
+        self._videos: Dict[str, List[int]] = {}
+        self._offset = 0
+
+    def add_video(self, name: str, frames: np.ndarray) -> None:
+        assert frames.shape[1:] == self.frame_shape, (
+            frames.shape, self.frame_shape)
+        frames = np.ascontiguousarray(frames, dtype=self.dtype)
+        self._videos[name] = [self._offset, frames.shape[0]]
+        self._fh.write(frames.tobytes())
+        self._offset += frames.shape[0]
+
+    def close(self) -> None:
+        self._fh.close()
+        with open(self.path + ".json", "w") as fh:
+            json.dump({"dtype": self.dtype.name,
+                       "shape": list(self.frame_shape),
+                       "videos": self._videos}, fh)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class FramePack:
+    """Read side: zero-copy mmap views per video or clip."""
+
+    def __init__(self, path: str):
+        with open(path + ".json") as fh:
+            meta = json.load(fh)
+        self.frame_shape = tuple(meta["shape"])
+        self.dtype = np.dtype(meta["dtype"])
+        self.videos: Dict[str, List[int]] = meta["videos"]
+        n_total = sum(v[1] for v in self.videos.values())
+        self._mm = np.memmap(path, dtype=self.dtype, mode="r",
+                             shape=(n_total, *self.frame_shape))
+
+    @property
+    def names(self) -> List[str]:
+        return sorted(self.videos)
+
+    def length(self, name: str) -> int:
+        return self.videos[name][1]
+
+    def video(self, name: str) -> np.ndarray:
+        off, n = self.videos[name]
+        return self._mm[off : off + n]
+
+    def clip(self, name: str, start: int, clip_length: int) -> np.ndarray:
+        """(h, w, t*c) channel-stacked clip (same layout as ClipLoader)."""
+        off, n = self.videos[name]
+        assert 0 <= start <= n - clip_length
+        frames = np.asarray(self._mm[off + start : off + start + clip_length])
+        t, h, w, c = frames.shape
+        return frames.transpose(1, 2, 0, 3).reshape(h, w, t * c)
+
+
+class FramePackTrainSampler:
+    """Random clip sampling over a FramePack (clip_Train_DS semantics)."""
+
+    def __init__(self, pack: FramePack, clip_length: int, seed: int = 2017,
+                 normalize_rgb: bool = False):
+        self.pack = pack
+        self.clip_length = clip_length
+        self.rng = np.random.default_rng(seed)
+        self.normalize_rgb = normalize_rgb
+
+    def sample(self) -> np.ndarray:
+        names = self.pack.names
+        name = names[self.rng.integers(len(names))]
+        start = int(self.rng.integers(
+            self.pack.length(name) - self.clip_length + 1))
+        clip = self.pack.clip(name, start, self.clip_length)
+        if self.normalize_rgb:
+            clip = (clip.astype(np.float32) / 255.0 - 0.5) / 0.5
+        return clip
+
+    def batch(self, batch_size: int) -> np.ndarray:
+        return np.stack([self.sample() for _ in range(batch_size)])
+
+
+def pack_video_tree(frames_root: str, out_path: str, image_size: int = 256,
+                    data_type: str = "rgb",
+                    reproduce_flow_bug: bool = True) -> FramePack:
+    """Offline packer: frame-folder tree -> framepack.
+
+    RGB packs as uint8 (normalization stays in the jit region, like the fused
+    scorer); flow packs as float32 post-normalization.
+    """
+    from .datasets import VideoIndex, _decode_rgb, load_flow
+
+    index = VideoIndex(frames_root)
+    size = (image_size, image_size)
+    shape = (image_size, image_size, 3 if data_type == "rgb" else 2)
+    dtype = "uint8" if data_type == "rgb" else "float32"
+    with FramePackWriter(out_path, shape, dtype) as writer:
+        for name in index.names:
+            if data_type == "rgb":
+                frames = np.stack([_decode_rgb(p, size)
+                                   for p in index.videos[name]])
+            else:
+                frames = np.stack([load_flow(p, size, reproduce_flow_bug)
+                                   for p in index.videos[name]])
+            writer.add_video(name, frames)
+    return FramePack(out_path)

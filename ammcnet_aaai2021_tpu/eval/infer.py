@@ -107,6 +107,115 @@ def make_video_scorer(generator, variables,
     return jax.jit(score_windows)
 
 
+def make_full_video_scorer(generator, variables,
+                           clip_len_rgb: int = 5, clip_len_op: int = 4,
+                           window_batch: int = 32,
+                           rgb_channels: int = 3, op_channels: int = 2
+                           ) -> Callable:
+    """Whole-video scorer: ONE jit call scores every sliding window of a
+    sub-video (lax.map over window batches inside the program), so a video
+    costs exactly one dispatch and one result fetch regardless of length —
+    at remote-device RPC latencies the per-call overhead otherwise dominates
+    compute 2:1.
+
+    The jitted fn is shape-specialized per (padded) video length; callers
+    bucket video lengths (:func:`pad_video_to_bucket`) so a dataset of
+    variably-long videos compiles only a handful of programs.
+
+    Returns ``score_video(video_rgb_u8 (T,h,w,3), video_op (T-1,h,w,2))
+    -> (4, n_windows_padded) f32`` (padded windows trimmed by the caller).
+    """
+
+    def stack_windows(video: jax.Array, idx: jax.Array, t: int) -> jax.Array:
+        widx = idx[:, None] + jnp.arange(t)[None, :]
+        frames = video[widx]
+        b, _, h, w, c = frames.shape
+        return jnp.transpose(frames, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
+
+    def score_batch(video_rgb, video_op, idx):
+        rgb_clip = stack_windows(video_rgb, idx, clip_len_rgb)
+        op_clip = stack_windows(video_op, idx, clip_len_op)
+        rgb = (rgb_clip.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        rgb_input, rgb_target = rgb[..., :-rgb_channels], rgb[..., -rgb_channels:]
+        op_input, op_target = op_clip[..., :-op_channels], op_clip[..., -op_channels:]
+        rgb_pred, op_pred, diffs, _ = generator.apply(
+            variables, rgb_input, op_input, False)
+        rgb_diff, op_diff = diffs
+        return jnp.stack([
+            psnr_per_frame(rgb_pred, rgb_target),
+            jnp.broadcast_to(rgb_diff, rgb_pred.shape[:1]).astype(jnp.float32),
+            psnr_per_frame(op_pred, op_target.astype(jnp.float32)),
+            jnp.broadcast_to(op_diff, op_pred.shape[:1]).astype(jnp.float32),
+        ])
+
+    @jax.jit
+    def score_video(video_rgb_u8: jax.Array, video_op: jax.Array) -> jax.Array:
+        n_windows = video_rgb_u8.shape[0] - clip_len_rgb + 1
+        n_batches = -(-n_windows // window_batch)
+        # window starts padded by clamping into range (duplicates trimmed host-side)
+        starts = jnp.minimum(jnp.arange(n_batches * window_batch),
+                             n_windows - 1).reshape(n_batches, window_batch)
+        out = jax.lax.map(
+            lambda idx: score_batch(video_rgb_u8, video_op, idx), starts)
+        # (n_batches, 4, wb) -> (4, n_batches*wb)
+        return jnp.transpose(out, (1, 0, 2)).reshape(4, -1)
+
+    return score_video
+
+
+def make_otf_flow_extractor(flow_net, flow_vars,
+                            reproduce_flow_bug: bool = True,
+                            chunk: int = 16) -> Callable:
+    """On-the-fly optical-flow extraction, fully on-device.
+
+    For datasets without precomputed .flo files (BASELINE config: avenue
+    inference with on-the-fly FlowNet extraction): FlowNet2-SD runs on
+    consecutive frame pairs inside jit and the result is normalized exactly
+    like the .flo loader (including the reference's channel-overwrite when
+    ``reproduce_flow_bug``), so the downstream scorer is oblivious to the
+    flow source.
+
+    Returns ``extract(video_rgb_u8 (T,h,w,3)) -> (T-1,h,w,2) bf16``.
+    """
+
+    @jax.jit
+    def extract(video_rgb_u8: jax.Array) -> jax.Array:
+        f = video_rgb_u8.astype(jnp.float32)  # FlowNet2SD wants [0,255]
+        pairs = jnp.stack([f[:-1], f[1:]], axis=-1)  # (T-1, h, w, 3, 2)
+        n = pairs.shape[0]
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        pairs = jnp.pad(pairs, ((0, pad), (0, 0), (0, 0), (0, 0), (0, 0)))
+        pairs = pairs.reshape(n_chunks, chunk, *pairs.shape[1:])
+        flows = jax.lax.map(lambda p: flow_net.apply(flow_vars, p), pairs)
+        flows = flows.reshape(-1, *flows.shape[2:])[:n]  # (T-1, h, w, 2)
+        h, w = flows.shape[1:3]
+        if reproduce_flow_bug:
+            u = flows[..., 0] / h
+            flows = jnp.stack([u, u / w], axis=-1)
+        else:
+            flows = jnp.stack([flows[..., 0] / w, flows[..., 1] / h], axis=-1)
+        return flows.astype(jnp.bfloat16)
+
+    return extract
+
+
+def pad_video_to_bucket(video_rgb_u8: np.ndarray, video_op: np.ndarray,
+                        bucket: int = 64):
+    """Edge-pad a video's frame count up to the next bucket multiple so the
+    whole-video scorer compiles one program per bucket, not per length.
+    Returns (rgb, op, true_n_frames)."""
+    t = video_rgb_u8.shape[0]
+    t_pad = -(-t // bucket) * bucket
+    if t_pad != t:
+        video_rgb_u8 = np.concatenate(
+            [video_rgb_u8,
+             np.repeat(video_rgb_u8[-1:], t_pad - t, axis=0)], axis=0)
+        video_op = np.concatenate(
+            [video_op, np.repeat(video_op[-1:], t_pad - t, axis=0)], axis=0)
+    return video_rgb_u8, video_op, t
+
+
 def upload_video(video_rgb_u8: np.ndarray, video_op: np.ndarray):
     """Async-dispatch the per-video device transfers.
 
@@ -191,8 +300,13 @@ def score_dataset(
     image_size: int = 256,
     reproduce_flow_bug: bool = True,
     logger=None,
+    flow_extractor: Optional[Callable] = None,
 ) -> Tuple[Dict, float]:
     """Per-video batched scoring over a test set.
+
+    ``flow_extractor`` (from :func:`make_otf_flow_extractor`) switches the
+    motion stream to on-device FlowNet extraction; ``op_root`` is then
+    ignored and no .flo files are read.
 
     Returns (result_dict in the reference's golden-pickle schema, fps).
     """
@@ -200,20 +314,28 @@ def score_dataset(
 
     from ..data.datasets import _decode_rgb, load_flow
 
+    # batch-window scorer: compiles one small program (the whole-video
+    # lax.map variant is available via make_full_video_scorer but its larger
+    # program is pathological on this environment's remote-compile service)
     scorer = make_video_scorer(generator, variables, clip_len_rgb,
                                clip_len_op, window_batch=batch_size)
     rgb_index = VideoIndex(rgb_root)
-    op_index = VideoIndex(op_root)
+    op_index = VideoIndex(op_root) if flow_extractor is None else None
     size = (image_size, image_size)
     pool = ThreadPoolExecutor(max_workers=8)
 
     def decode_video(name):
         frames = list(pool.map(lambda p: _decode_rgb(p, size),
                                rgb_index.videos[name]))
-        flows = list(pool.map(
-            lambda p: load_flow(p, size, reproduce_flow_bug),
-            op_index.videos[name]))
-        return np.stack(frames), np.stack(flows)
+        frames = np.stack(frames)
+        if flow_extractor is None:
+            flows = np.stack(list(pool.map(
+                lambda p: load_flow(p, size, reproduce_flow_bug),
+                op_index.videos[name])))
+        else:
+            # placeholder; the real flows are extracted on-device after upload
+            flows = np.zeros((frames.shape[0] - 1, *size, 2), np.float32)
+        return pad_video_to_bucket(frames, flows)
 
     result: Dict = {
         "dataset": dataset_name,
@@ -224,19 +346,26 @@ def score_dataset(
     total_frames = 0
     names = rgb_index.names
     # three-stage pipeline: decode(i+1) on host threads || upload(i+1) to
-    # device || compute(i) on chip — all async-dispatched so the PCIe
-    # transfers and the TPU program overlap
+    # device || compute(i) on chip — one jit dispatch and one result fetch
+    # per video, all async so transfers and the TPU program overlap
+    def upload_next(decoded):
+        rgb_h, op_h, true_frames = decoded
+        v_rgb, v_op = upload_video(rgb_h, op_h)
+        if flow_extractor is not None:
+            v_op = flow_extractor(v_rgb)  # on-device FlowNet flows
+        return v_rgb, v_op, true_frames
+
     next_decoded = pool.submit(decode_video, names[0])
-    v_rgb, v_op = upload_video(*next_decoded.result())
+    current = upload_next(next_decoded.result())
     if len(names) > 1:
         next_decoded = pool.submit(decode_video, names[1])
     for vi, name in enumerate(names):
-        num_frame = int(v_rgb.shape[0])
+        v_rgb, v_op, num_frame = current
         n_windows = num_frame - clip_len_rgb + 1
         launched = launch_video_scoring(scorer, v_rgb, v_op, n_windows,
-                                        batch_size)
+                                        batch_size)  # async dispatch
         if vi + 1 < len(names):
-            v_rgb, v_op = upload_video(*next_decoded.result())
+            current = upload_next(next_decoded.result())
             if vi + 2 < len(names):
                 next_decoded = pool.submit(decode_video, names[vi + 2])
         rgb_psnr, rgb_fea, op_psnr, op_fea = gather_video_scores(*launched)

@@ -146,6 +146,53 @@ def img_pred_fea_comm_auc(
     return roc_auc(labels, scores, pos_label=0)
 
 
+def roc_curve(labels: np.ndarray, scores: np.ndarray,
+              pos_label: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """(fpr, tpr) matching sklearn.roc_curve's threshold collapsing."""
+    labels = np.asarray(labels)
+    scores = np.asarray(scores, dtype=np.float64)
+    pos = (labels == pos_label).astype(np.float64)
+    neg = 1.0 - pos
+    order = np.argsort(-scores, kind="mergesort")
+    pos, neg, sorted_scores = pos[order], neg[order], scores[order]
+    tp, fp = np.cumsum(pos), np.cumsum(neg)
+    distinct = np.nonzero(np.diff(sorted_scores))[0]
+    idx = np.r_[distinct, len(sorted_scores) - 1]
+    tp, fp = tp[idx], fp[idx]
+    tpr = tp / tp[-1] if tp[-1] > 0 else np.zeros_like(tp)
+    fpr = fp / fp[-1] if fp[-1] > 0 else np.zeros_like(fp)
+    return np.r_[0.0, fpr], np.r_[0.0, tpr]
+
+
+def precision_recall_auc(labels: np.ndarray, scores: np.ndarray,
+                         pos_label: int = 0) -> float:
+    """Area under the precision-recall curve (reference eval_metric.py:291-311,
+    sklearn precision_recall_curve + trapezoidal auc semantics)."""
+    labels = np.asarray(labels)
+    scores = np.asarray(scores, dtype=np.float64)
+    pos = (labels == pos_label).astype(np.float64)
+    order = np.argsort(-scores, kind="mergesort")
+    pos, sorted_scores = pos[order], scores[order]
+    tp = np.cumsum(pos)
+    n_pred = np.arange(1, len(pos) + 1, dtype=np.float64)
+    distinct = np.nonzero(np.diff(sorted_scores))[0]
+    idx = np.r_[distinct, len(sorted_scores) - 1]
+    precision = tp[idx] / n_pred[idx]
+    recall = tp[idx] / tp[-1] if tp[-1] > 0 else np.zeros_like(tp[idx])
+    # sklearn appends the (recall=0, precision=1) anchor and reverses
+    recall = np.r_[recall[::-1], 0.0]
+    precision = np.r_[precision[::-1], 1.0]
+    return float(abs(np.trapezoid(precision, recall)))
+
+
+def compute_eer(labels: np.ndarray, scores: np.ndarray,
+                pos_label: int = 0) -> float:
+    """Equal error rate: fpr at the point where fpr + tpr is closest to 1
+    (reference cal_eer, eval_metric.py:314-318)."""
+    fpr, tpr = roc_curve(labels, scores, pos_label)
+    return float(fpr[np.nanargmin(np.abs(fpr + tpr - 1.0))])
+
+
 def evaluate(
     save_file: str,
     lam: Optional[Tuple[float, float]] = None,

@@ -46,11 +46,19 @@ def parser_args(argv=None):
     p.add_argument("--fix_flow_bug", action="store_true",
                    help="use the corrected flow-channel loader (default "
                         "reproduces the reference bug for ckpt parity)")
+    p.add_argument("--on_the_fly_flow", action="store_true",
+                   help="extract optical flow on-device with FlowNet2-SD "
+                        "instead of reading precomputed .flo files")
+    p.add_argument("--flownet_ckpt", default="",
+                   help="FlowNet2-SD torch .pth for --on_the_fly_flow")
     return p.parse_args(argv)
 
 
 def main(argv=None) -> dict:
     args = parser_args(argv)
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from ..configs import FUSION_LAMBDAS, preset
     from ..eval.gt import GroundTruthLoader
     from ..eval.infer import score_dataset
@@ -97,6 +105,26 @@ def main(argv=None) -> dict:
     else:
         logger.warning("no --ckptfile: scoring with RANDOM weights (smoke run)")
 
+    flow_extractor = None
+    if args.on_the_fly_flow:
+        from ..eval.infer import make_otf_flow_extractor
+        from ..models.flownet_sd import FlowNet2SD
+
+        flownet = FlowNet2SD()
+        flow_vars = flownet.init(
+            {"params": jax.random.PRNGKey(1)},
+            jnp.zeros((1, size, size, 3, 2)))
+        if args.flownet_ckpt:
+            from ..tools.torch_convert import convert_flownet_sd
+
+            flow_vars = convert_flownet_sd(args.flownet_ckpt)
+            logger.info("loaded FlowNet2-SD from %s", args.flownet_ckpt)
+        else:
+            logger.warning("--on_the_fly_flow without --flownet_ckpt: "
+                           "random FlowNet weights (smoke only)")
+        flow_extractor = make_otf_flow_extractor(
+            flownet, flow_vars, reproduce_flow_bug=not args.fix_flow_bug)
+
     rgb_root = os.path.join(args.data_dir, args.dataset_name, "testing", "frames")
     op_root = os.path.join(args.data_dir, args.dataset_name, "testing", "flows")
     result, fps = score_dataset(
@@ -104,7 +132,8 @@ def main(argv=None) -> dict:
         clip_len_rgb=cfg.data.clip_length_rgb,
         clip_len_op=cfg.data.clip_length_op,
         batch_size=args.batch_size, image_size=size,
-        reproduce_flow_bug=not args.fix_flow_bug, logger=logger)
+        reproduce_flow_bug=not args.fix_flow_bug, logger=logger,
+        flow_extractor=flow_extractor)
 
     pickle_dir = os.path.join(args.save_dir, args.eval_type, "save_pickle")
     os.makedirs(pickle_dir, exist_ok=True)

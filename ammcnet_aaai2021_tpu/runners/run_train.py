@@ -78,6 +78,9 @@ def _load_branch(path: str, net_tag: str, target_vars):
 
 def main(argv=None):
     args = parser_args(argv)
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -22,6 +22,10 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
+from ammcnet_aaai2021_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 @pytest.fixture(scope="session")
 def cpu_mesh_devices():

@@ -1,0 +1,149 @@
+"""Data-backend tests: framepack round-trip, dataset factory dispatch,
+PR-AUC/EER metric parity, on-the-fly flow extractor."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ammcnet_aaai2021_tpu.data import get_dataset
+from ammcnet_aaai2021_tpu.data.framepack import (
+    FramePack,
+    FramePackTrainSampler,
+    FramePackWriter,
+    pack_video_tree,
+)
+from ammcnet_aaai2021_tpu.eval.scoring import (
+    compute_eer,
+    precision_recall_auc,
+    roc_curve,
+)
+from ammcnet_aaai2021_tpu.tools.make_toydata import make_toydata
+
+
+@pytest.fixture(scope="module")
+def toydata(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("toy"))
+    make_toydata(root, frames_per_video=12, image_size=32)
+    return root
+
+
+class TestFramePack:
+    def test_roundtrip(self, tmp_path, rng):
+        path = str(tmp_path / "pack.fpk")
+        videos = {f"{i:02d}": rng.integers(0, 255, (7 + i, 8, 8, 3), np.uint8)
+                  for i in range(3)}
+        with FramePackWriter(path, (8, 8, 3), "uint8") as w:
+            for name, frames in videos.items():
+                w.add_video(name, frames)
+        pack = FramePack(path)
+        assert pack.names == sorted(videos)
+        for name, frames in videos.items():
+            np.testing.assert_array_equal(np.asarray(pack.video(name)), frames)
+        clip = pack.clip("01", 2, 4)
+        assert clip.shape == (8, 8, 12)
+        np.testing.assert_array_equal(
+            clip[..., :3], videos["01"][2])
+
+    def test_pack_video_tree_matches_loader(self, toydata, tmp_path):
+        from ammcnet_aaai2021_tpu.data.datasets import VideoIndex, _decode_rgb
+
+        frames_root = os.path.join(toydata, "toydata", "testing", "frames")
+        pack = pack_video_tree(frames_root, str(tmp_path / "t.fpk"),
+                               image_size=32)
+        idx = VideoIndex(frames_root)
+        name = idx.names[0]
+        ref = np.stack([_decode_rgb(p, (32, 32)) for p in idx.videos[name]])
+        np.testing.assert_array_equal(np.asarray(pack.video(name)), ref)
+
+    def test_train_sampler(self, tmp_path, rng):
+        path = str(tmp_path / "s.fpk")
+        with FramePackWriter(path, (8, 8, 3), "uint8") as w:
+            w.add_video("a", rng.integers(0, 255, (20, 8, 8, 3), np.uint8))
+        sampler = FramePackTrainSampler(FramePack(path), clip_length=5,
+                                        normalize_rgb=True)
+        batch = sampler.batch(4)
+        assert batch.shape == (4, 8, 8, 15)
+        assert batch.min() >= -1.0 and batch.max() <= 1.0
+
+
+class TestDatasetFactory:
+    def test_testing_mode_returns_none(self):
+        assert get_dataset("rgb_op", "testing") is None
+
+    def test_normal_twostream(self, toydata):
+        s = get_dataset(
+            "rgb_op", "training", "normal",
+            rgb_root=os.path.join(toydata, "toydata", "training", "frames"),
+            op_root=os.path.join(toydata, "toydata", "training", "flows"),
+            image_size=32)
+        b = s.batch(2)
+        assert b["rgb"].shape == (2, 32, 32, 15)
+        assert b["op"].shape == (2, 32, 32, 8)
+
+    def test_framepack_backend(self, toydata, tmp_path):
+        frames_root = os.path.join(toydata, "toydata", "training", "frames")
+        pack_path = str(tmp_path / "train.fpk")
+        pack_video_tree(frames_root, pack_path, image_size=32)
+        s = get_dataset("rgb", "training", "framepack", rgb_root=pack_path)
+        assert s.batch(2).shape == (2, 32, 32, 15)
+
+    def test_lmdb_backend_gated(self, toydata):
+        pytest.importorskip("lmdb", reason="py-lmdb not installed")
+
+    def test_unknown_backend(self):
+        with pytest.raises(ValueError, match="which_ds"):
+            get_dataset("rgb", "training", "nope")
+
+
+class TestAltMetrics:
+    def test_pr_auc_matches_sklearn(self, rng):
+        sklearn = pytest.importorskip("sklearn.metrics")
+        labels = (rng.random(2000) < 0.3).astype(np.int8)
+        scores = rng.normal(size=2000) - labels * 0.5
+        p, r, _ = sklearn.precision_recall_curve(labels, scores, pos_label=0)
+        expected = sklearn.auc(r, p)
+        got = precision_recall_auc(labels, scores, pos_label=0)
+        assert got == pytest.approx(expected, abs=1e-3)
+
+    def test_eer_matches_reference_formula(self, rng):
+        sklearn = pytest.importorskip("sklearn.metrics")
+        labels = (rng.random(2000) < 0.3).astype(np.int8)
+        scores = rng.normal(size=2000) - labels * 0.5
+        fpr, tpr, _ = sklearn.roc_curve(labels, scores, pos_label=0)
+        expected = fpr[np.nanargmin(np.abs(fpr + tpr - 1))]
+        assert compute_eer(labels, scores) == pytest.approx(expected, abs=1e-6)
+
+    def test_roc_curve_matches_sklearn(self, rng):
+        sklearn = pytest.importorskip("sklearn.metrics")
+        labels = (rng.random(500) < 0.4).astype(np.int8)
+        scores = rng.normal(size=500)
+        fpr_sk, tpr_sk, _ = sklearn.roc_curve(labels, scores, pos_label=0,
+                                              drop_intermediate=False)
+        fpr, tpr = roc_curve(labels, scores)
+        np.testing.assert_allclose(fpr, fpr_sk, atol=1e-12)
+        np.testing.assert_allclose(tpr, tpr_sk, atol=1e-12)
+
+
+class TestOnTheFlyFlow:
+    def test_extractor_shapes_and_normalization(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from ammcnet_aaai2021_tpu.eval.infer import make_otf_flow_extractor
+        from ammcnet_aaai2021_tpu.models.flownet_sd import FlowNet2SD
+
+        flownet = FlowNet2SD(dtype=jnp.float32)
+        size = 64
+        flow_vars = flownet.init({"params": jax.random.PRNGKey(0)},
+                                 jnp.zeros((1, size, size, 3, 2)))
+        video = jnp.asarray(
+            rng.integers(0, 255, (9, size, size, 3), np.uint8))
+        ex_bug = make_otf_flow_extractor(flownet, flow_vars, True, chunk=4)
+        flows = ex_bug(video)
+        assert flows.shape == (8, size, size, 2)
+        assert flows.dtype == jnp.bfloat16
+        # bug mode: ch1 == ch0 / w
+        f = np.asarray(flows, np.float32)
+        np.testing.assert_allclose(f[..., 1], f[..., 0] / size,
+                                   rtol=1e-2, atol=1e-6)
