@@ -207,6 +207,17 @@ def main(argv=None):
                                       batch["op"][..., :-2], False)
             return psnr_error(pred, rgb[..., -3:])
 
+        def vis_fn(state, batch):
+            variables = {"params": state.g_params, **state.g_state}
+            rgb_pred, op_pred, _, _ = gen.apply(
+                variables, batch["rgb"][..., :-3], batch["op"][..., :-2],
+                False)
+            n = min(4, rgb_pred.shape[0])
+            return {"rgb/pred": rgb_pred[:n],
+                    "rgb/target": batch["rgb"][..., -3:][:n],
+                    "op/pred": op_pred[:n],
+                    "op/target": batch["op"][..., -2:][:n]}
+
     else:
         c = ch[args.data_type]
         t = 4 if args.data_type == "rgb" else 3
@@ -231,9 +242,13 @@ def main(argv=None):
             pred, _, _ = gen.apply(variables, batch[..., :-c], False)
             return psnr_error(pred, batch[..., -c:])
 
+        vis_fn = None
+
     state = train_loop(state, step_fn, batches(), flow_vars,
                        args.iterations, run_dir, logger=logger,
-                       psnr_fn=jax.jit(psnr_fn), step_log=args.step_log,
+                       psnr_fn=jax.jit(psnr_fn),
+                       vis_fn=jax.jit(vis_fn) if vis_fn else None,
+                       step_log=args.step_log,
                        step_summary=args.step_summary,
                        step_save=args.step_save)
     logger.info("training done at step %d", int(state.step))

@@ -57,6 +57,23 @@ class ScalarWriter:
                 self._tb.add_scalar(tag, float(val), step)
         self._csv.flush()
 
+    def image_grid(self, step: int, tag: str, images: np.ndarray) -> None:
+        """NHWC uint8 (or [-1,1] float RGB, or (b,h,w,2) flow rendered
+        through the color wheel) -> TensorBoard grid (reference
+        get_vis_tensor + make_grid, utils.py:305-324)."""
+        if self._tb is None:
+            return
+        images = np.asarray(images)
+        if images.shape[-1] == 2:  # flow -> Middlebury color wheel
+            from ..utils.vis import batch_flow_to_image
+
+            images = batch_flow_to_image(images.astype(np.float32))
+        elif images.dtype != np.uint8:
+            images = ((np.clip(images, -1, 1) + 1) * 127.5).astype(np.uint8)
+        # (b,h,w,c) -> one row grid (b*? simple horizontal concat)
+        grid = np.concatenate(list(images), axis=1)
+        self._tb.add_image(tag, grid, step, dataformats="HWC")
+
     def close(self) -> None:
         self._csv.close()
         if self._tb is not None:
@@ -93,6 +110,7 @@ def train_loop(
     run_dir: str,
     logger=None,
     psnr_fn: Optional[Callable] = None,
+    vis_fn: Optional[Callable] = None,
     step_log: int = STEP_LOG,
     step_summary: int = STEP_SUMMARY,
     step_save: int = STEP_SAVE_CKPT,
@@ -124,6 +142,11 @@ def train_loop(
                     np.mean(data_times[-step_log:]))
         if step % step_summary == 0:
             writer.scalars(step, {k: float(v) for k, v in metrics.items()})
+            if vis_fn is not None:
+                # image grids of predictions vs targets (flow rendered
+                # through the color wheel), reference train_helper.py:388-411
+                for tag, images in vis_fn(state, batch).items():
+                    writer.image_grid(step, tag, np.asarray(images))
         if step % step_save == 0:
             save_checkpoint(ckpt_dir, step, jax.device_get(
                 jax.tree.map(np.asarray, _state_to_pytree(state))))

@@ -55,9 +55,23 @@ def make_twostream_train_step(
     d_tx: optax.GradientTransformation,
     rgb_channels: int = 3,
     op_channels: int = 2,
+    remat: bool = False,
 ) -> Callable:
-    """Stage-2 step: joint two-stream training with the twostream(_vq) loss."""
+    """Stage-2 step: joint two-stream training with the twostream(_vq) loss.
+
+    ``remat=True`` rematerializes the generator forward in the backward pass
+    (jax.checkpoint): trades ~1 extra forward of FLOPs for not holding the
+    UNet activations of both streams in HBM — enables much larger per-chip
+    batches at 256x256.
+    """
     g_loss_fn = LOSS_TAGS[loss_cfg.loss_tag]
+
+    def gen_apply(variables, rgb_input, op_input):
+        return generator.apply(variables, rgb_input, op_input, True,
+                               mutable=list(MUTABLE))
+
+    if remat:
+        gen_apply = jax.checkpoint(gen_apply)
 
     def train_step(state: AMMCTrainState, batch: Dict, flow_vars
                    ) -> Tuple[AMMCTrainState, Dict]:
@@ -67,8 +81,8 @@ def make_twostream_train_step(
 
         def g_loss(g_params):
             variables = {"params": g_params, **state.g_state}
-            (rgb_pred, op_pred, diffs, _), new_state = generator.apply(
-                variables, rgb_input, op_input, True, mutable=list(MUTABLE))
+            (rgb_pred, op_pred, diffs, _), new_state = gen_apply(
+                variables, rgb_input, op_input)
             flow_pred = _flow_pair(flownet, flow_vars, rgb_target, rgb_pred)
             flow_gt = _flow_pair(flownet, flow_vars, rgb_target, rgb_target)
             d_gen = discriminator.apply({"params": state.d_params}, rgb_pred)

@@ -100,6 +100,26 @@ class TestTwoStreamStep:
                 first = float(metrics["g_int_loss"])
         assert float(metrics["g_int_loss"]) < first
 
+    def test_remat_step_matches_plain(self, twostream_setup):
+        # jax.checkpoint must change memory usage only, not the math
+        state, _, batch, flow_vars = twostream_setup
+        cfg = small_net()
+        gen = build_generator(cfg)
+        disc = PixelDiscriminator(dtype=jnp.float32)
+        flownet = FlowNet2SD(dtype=jnp.float32)
+        loss_cfg = LossConfig(loss_tag="twostream_vq")
+        g_tx, d_tx = make_optimizers(OptimConfig())
+        outs = []
+        for remat in (False, True):
+            step_fn = jax.jit(make_twostream_train_step(
+                gen, disc, flownet, loss_cfg, g_tx, d_tx, remat=remat))
+            new_state, metrics = step_fn(state, batch, flow_vars)
+            outs.append((jax.tree.leaves(new_state.g_params)[0],
+                         float(metrics["g_loss"])))
+        np.testing.assert_allclose(np.asarray(outs[0][0]),
+                                   np.asarray(outs[1][0]), atol=1e-6)
+        assert outs[0][1] == pytest.approx(outs[1][1], rel=1e-6)
+
     def test_flow_loss_carries_no_gradient(self, twostream_setup):
         # faithful .detach(): lam_flow must not change g_grads
         state, _, batch, flow_vars = twostream_setup
