@@ -66,12 +66,19 @@ def make_twostream_scorer(generator, variables,
 def make_video_scorer(generator, variables,
                       clip_len_rgb: int = 5, clip_len_op: int = 4,
                       window_batch: int = 16,
-                      rgb_channels: int = 3, op_channels: int = 2) -> Callable:
+                      rgb_channels: int = 3, op_channels: int = 2,
+                      mesh=None) -> Callable:
     """Video-resident scorer: the whole sub-video lives on device (uint8
     frames + float flows, uploaded ONCE); each call gathers a batch of
     sliding windows on-device, normalizes, channel-stacks, and scores —
     so no frame crosses PCIe more than once (the torch DataLoader decodes
     and ships every frame clip_len times).
+
+    ``mesh``: a jax.sharding.Mesh with a 'data' axis for multi-chip serving —
+    the window batch shards over 'data' (each chip scores its slice of the
+    sliding windows; the video replicates), so window_batch must be a
+    multiple of the axis size.  This is the workload's only sequence-scaling
+    dimension (SURVEY.md 5.7).
 
     Returns ``score_windows(video_rgb_u8 (T,h,w,3), video_op (T-1,h,w,2),
     idx (b,)) -> (rgb_psnr, rgb_fea, op_psnr, op_fea)`` jitted; idx are
@@ -104,7 +111,15 @@ def make_video_scorer(generator, variables,
             jnp.broadcast_to(op_diff, op_pred.shape[:1]).astype(jnp.float32),
         )
 
-    return jax.jit(score_windows)
+    if mesh is None:
+        return jax.jit(score_windows)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(score_windows,
+                   in_shardings=(replicated, replicated, batch_sh),
+                   out_shardings=(batch_sh,) * 4)
 
 
 def make_full_video_scorer(generator, variables,

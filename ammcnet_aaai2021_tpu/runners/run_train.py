@@ -55,6 +55,11 @@ def parser_args(argv=None):
     p.add_argument("--step_log", type=int, default=10)
     p.add_argument("--step_summary", type=int, default=100)
     p.add_argument("--step_save", type=int, default=1000)
+    p.add_argument("--resume", default="",
+                   help="run dir (or exp_tag via registry) to resume from: "
+                        "restores the FULL training state incl. optimizer "
+                        "moments and EMA codebook (the reference's resume "
+                        "reloaded weights only)")
     p.add_argument("--aligned_sampling", action="store_true", default=True)
     p.add_argument("--unaligned_sampling", dest="aligned_sampling",
                    action="store_false",
@@ -243,6 +248,29 @@ def main(argv=None):
             return psnr_error(pred, batch[..., -c:])
 
         vis_fn = None
+
+    if args.resume:
+        from ..train.checkpoint import latest_step, restore_checkpoint
+        from ..train.loop import _state_to_pytree
+        from ..utils.registry import resolve_run as _resolve
+
+        resume_dir = args.resume
+        if not os.path.isdir(resume_dir):
+            resume_dir = _resolve(args.registry, args.resume)
+        ckpt_dir = os.path.join(resume_dir, "training", "checkpoints")
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+        restored = restore_checkpoint(ckpt_dir, _state_to_pytree(state),
+                                      step=step)
+        state = dataclasses.replace(
+            state, step=jnp.asarray(restored["step"]),
+            g_params=restored["g_params"], g_state=restored["g_state"],
+            g_opt_state=restored["g_opt_state"],
+            d_params=restored["d_params"],
+            d_opt_state=restored["d_opt_state"])
+        logger.info("resumed full training state from %s step %d",
+                    ckpt_dir, step)
 
     state = train_loop(state, step_fn, batches(), flow_vars,
                        args.iterations, run_dir, logger=logger,

@@ -15,6 +15,11 @@ from typing import Optional
 
 def get_logger(name: str = "ammcnet", log_dir: Optional[str] = None,
                level: int = logging.INFO) -> logging.Logger:
+    # key the logger by its log_dir so multiple runs in one process each get
+    # their own rotating files (a bare name would silently reuse the first
+    # run's handlers)
+    if log_dir:
+        name = f"{name}.{abs(hash(os.path.abspath(log_dir))) & 0xFFFFFF:06x}"
     logger = logging.getLogger(name)
     if logger.handlers:
         return logger
