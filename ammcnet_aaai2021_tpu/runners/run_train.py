@@ -68,8 +68,10 @@ def parser_args(argv=None):
     return p.parse_args(argv)
 
 
-def _load_branch(path: str, net_tag: str, target_vars):
-    """Load a stage-1 checkpoint: torch .pth (converted) or orbax dir."""
+def _load_branch(path: str, net_tag: str, target_vars=None):
+    """Load a stage-1 generator's variables from a torch .pth (converted),
+    a flax .msgpack, or an orbax step dir written by train_loop (which holds
+    the FULL train state; the generator slice is extracted)."""
     from ..tools.torch_convert import convert_pth
     from ..train.checkpoint import load_msgpack, restore_checkpoint
 
@@ -77,8 +79,9 @@ def _load_branch(path: str, net_tag: str, target_vars):
         return convert_pth(path, net_tag)
     if path.endswith(".msgpack"):
         return load_msgpack(path, target_vars)
-    return restore_checkpoint(os.path.dirname(path), {"generator": target_vars},
-                              step=int(os.path.basename(path)))["generator"]
+    restored = restore_checkpoint(os.path.dirname(path),
+                                  step=int(os.path.basename(path)))
+    return {"params": restored["g_params"], **restored["g_state"]}
 
 
 def main(argv=None):

@@ -41,14 +41,20 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
-def restore_checkpoint(ckpt_dir: str, target: Any,
+def restore_checkpoint(ckpt_dir: str, target: Any = None,
                        step: Optional[int] = None) -> Any:
-    """Restore the given (or latest) step into the target pytree structure."""
+    """Restore the given (or latest) step.
+
+    ``target=None`` restores the raw saved pytree (useful for consumers that
+    only need a slice, e.g. the watch-folder evaluator pulling just the
+    generator out of a full train state)."""
     if step is None:
         step = latest_step(ckpt_dir)
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
     path = os.path.join(os.path.abspath(ckpt_dir), f"{step:06d}")
+    if target is None:
+        return _checkpointer().restore(path)
     return _checkpointer().restore(path, target=target)
 
 
