@@ -125,6 +125,27 @@ class GroundTruthLoader:
             for f in sorted(os.listdir(label_dir))
         ]
 
+    # -- pixel-level masks (reference eval_metric.py:182-210) ------------------------
+    def get_pixel_masks_file_list(self, dataset: str):
+        """Sorted per-video pixel-mask .npy paths + the indices of the test
+        videos that have masks (not all do in ped1/avenue)."""
+        pixel_mask_folder = os.path.join(self.data_dir, dataset, "pixel_masks")
+        mask_files = sorted(os.listdir(pixel_mask_folder))
+        video_folder = os.path.join(self.data_dir, dataset, "testing", "frames")
+        video_list = sorted(os.listdir(video_folder))
+        video_ids = []
+        ids = 0
+        for mask_name in mask_files:
+            while ids < len(video_list):
+                if video_list[ids] + ".npy" == mask_name:
+                    video_ids.append(ids)
+                    ids += 1
+                    break
+                ids += 1
+        assert len(video_ids) == len(mask_files)
+        return ([os.path.join(pixel_mask_folder, f) for f in mask_files],
+                video_ids)
+
     # -- toy json ------------------------------------------------------------------
     def _load_toydata(self) -> List[np.ndarray]:
         path = os.path.join(self.data_dir, "toydata", "toydata.json")

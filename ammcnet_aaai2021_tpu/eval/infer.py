@@ -37,8 +37,8 @@ from ..ops.metrics import psnr_per_frame
 
 
 def make_twostream_scorer(generator, variables,
-                          rgb_channels: int = 3, op_channels: int = 2,
-                          donate: bool = False) -> Callable:
+                          rgb_channels: int = 3, op_channels: int = 2
+                          ) -> Callable:
     """Builds the jitted ``(rgb_clip, op_clip) -> 4 per-frame vectors`` fn.
 
     rgb_clip: (b, h, w, t_rgb*3) with the last frame the prediction target;
@@ -348,8 +348,8 @@ def score_dataset(
                 lambda p: load_flow(p, size, reproduce_flow_bug),
                 op_index.videos[name])))
         else:
-            # placeholder; the real flows are extracted on-device after upload
-            flows = np.zeros((frames.shape[0] - 1, *size, 2), np.float32)
+            # flows come from the on-device extractor; nothing to load/upload
+            flows = np.zeros((1, *size, 2), np.float32)
         return pad_video_to_bucket(frames, flows)
 
     result: Dict = {
@@ -365,9 +365,10 @@ def score_dataset(
     # per video, all async so transfers and the TPU program overlap
     def upload_next(decoded):
         rgb_h, op_h, true_frames = decoded
-        v_rgb, v_op = upload_video(rgb_h, op_h)
         if flow_extractor is not None:
-            v_op = flow_extractor(v_rgb)  # on-device FlowNet flows
+            v_rgb = jax.device_put(np.ascontiguousarray(rgb_h))
+            return v_rgb, flow_extractor(v_rgb), true_frames
+        v_rgb, v_op = upload_video(rgb_h, op_h)
         return v_rgb, v_op, true_frames
 
     next_decoded = pool.submit(decode_video, names[0])

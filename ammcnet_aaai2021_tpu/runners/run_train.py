@@ -100,7 +100,6 @@ def main(argv=None):
         VideoIndex)
     from ..models import PixelDiscriminator, build_generator
     from ..models.flownet_sd import FlowNet2SD
-    from ..models.vqvae import bridge_only_mask
     from ..ops.metrics import psnr_error
     from ..train.loop import train_loop
     from ..train.optim import make_optimizers
@@ -138,7 +137,6 @@ def main(argv=None):
     two_stream = args.data_type == "rgb_op"
     ch = {"rgb": 3, "op": 2}
     gen = build_generator(net)
-    d_channels = 3 if args.data_type in ("rgb", "rgb_op") else 2
     disc = PixelDiscriminator()
     flownet = FlowNet2SD()
     rng = jax.random.PRNGKey(args.seed)
@@ -157,10 +155,6 @@ def main(argv=None):
             logger.warning("no --flownet_ckpt: FlowNet teacher is randomly "
                            "initialized (flow loss is observational)")
 
-    g_mask = None
-    if args.fix_branches:
-        # build mask lazily after init (needs the params tree)
-        pass
     g_tx, d_tx = make_optimizers(optim)
 
     if two_stream:

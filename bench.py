@@ -27,10 +27,11 @@ BASELINE_FPS = 17.597  # reference ped2 inference fps (BASELINE.md)
 NUM_VIDEOS = 12
 FRAMES_PER_VIDEO = 180
 SIZE = 256
-# overridable: larger batches cut dispatch count but need a fresh XLA
-# compile (this environment's remote compile service is high-variance, so
-# the default stays on the known-cached program)
-WINDOW_BATCH = int(os.environ.get("BENCH_WINDOW_BATCH", "32"))
+# overridable: larger batches cut dispatch count and roughly double MXU
+# throughput (64 measured 590 windows/s device-resident vs 249 at 32); keep
+# to shapes already in the persistent compile cache — this environment's
+# remote compile service is high-variance
+WINDOW_BATCH = int(os.environ.get("BENCH_WINDOW_BATCH", "64"))
 # best-of-N passes: the device tunnel has transient contention that can
 # halve throughput; the best pass reflects the chip
 N_PASSES = int(os.environ.get("BENCH_PASSES", "2"))
@@ -66,8 +67,8 @@ def main() -> None:
 
     from ammcnet_aaai2021_tpu.configs import NetConfig
     from ammcnet_aaai2021_tpu.eval.infer import (
-        _assemble_records, gather_video_scores, launch_video_scoring,
-        make_video_scorer, upload_video)
+        _assemble_records, make_full_video_scorer, pad_video_to_bucket,
+        upload_video)
     from ammcnet_aaai2021_tpu.models import build_generator
 
     rng = np.random.default_rng(0)
@@ -78,7 +79,9 @@ def main() -> None:
     variables = gen.init({"params": jax.random.PRNGKey(0)},
                          jnp.zeros((1, SIZE, SIZE, 12)),
                          jnp.zeros((1, SIZE, SIZE, 6)))
-    scorer = make_video_scorer(gen, variables, window_batch=WINDOW_BATCH)
+    # whole-video scorer: ONE jit dispatch + ONE result fetch per video
+    # (565 fps device-resident at wb=64 on the 192-frame bucket)
+    scorer = make_full_video_scorer(gen, variables, window_batch=WINDOW_BATCH)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -91,32 +94,39 @@ def main() -> None:
                 cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR),
                 cv2.COLOR_BGR2RGB),
             jpegs))
-        return np.stack(frames), flows
+        rgb, op, _ = pad_video_to_bucket(np.stack(frames), flows)
+        return rgb, op
 
-    # warm-up: compile the window scorer once
+    # warm-up: compile the whole-video scorer once
     host = decode_video(videos[0])
-    v_rgb_w, v_op_w = upload_video(*host)
+    _ = np.asarray(scorer(*upload_video(*host)))
     n_windows = FRAMES_PER_VIDEO - 5 + 1
-    _ = gather_video_scores(*launch_video_scoring(
-        scorer, v_rgb_w, v_op_w, n_windows, WINDOW_BATCH))
+
+    import jax
+    import jax.numpy as jnp
 
     fps = 0.0
     for _pass in range(N_PASSES):
         t0 = time.perf_counter()
         total_frames = 0
-        # pipeline: decode(i+1) on host threads || upload(i+1) || compute(i);
-        # results fetched once per video (single stacked pull)
+        # pipeline: decode(i+1) on host threads || upload(i+1) || compute(i).
+        # Dispatch and upload are async; the ONLY device->host sync is one
+        # stacked fetch of the whole pass's scores (a sync round-trip on this
+        # environment's tunnel can cost seconds under contention; all 12
+        # videos' arrays fit in ~1 GB of HBM).
         next_decoded = pool.submit(decode_video, videos[0])
         v_rgb, v_op = upload_video(*next_decoded.result())
         next_decoded = pool.submit(decode_video, videos[1])
+        launched = []
         for vi in range(NUM_VIDEOS):
-            launched = launch_video_scoring(scorer, v_rgb, v_op, n_windows,
-                                            WINDOW_BATCH)
+            launched.append(scorer(v_rgb, v_op))
             if vi + 1 < NUM_VIDEOS:
                 v_rgb, v_op = upload_video(*next_decoded.result())
                 if vi + 2 < NUM_VIDEOS:
                     next_decoded = pool.submit(decode_video, videos[vi + 2])
-            rgb_psnr, rgb_fea, op_psnr, op_fea = gather_video_scores(*launched)
+        all_scores = np.asarray(jnp.stack(launched))[:, :, :n_windows]
+        for scores in all_scores:
+            rgb_psnr, rgb_fea, op_psnr, op_fea = scores
             _assemble_records(rgb_psnr, FRAMES_PER_VIDEO, 5)
             _assemble_records(rgb_fea, FRAMES_PER_VIDEO, 5)
             _assemble_records(op_psnr, FRAMES_PER_VIDEO, 4)
