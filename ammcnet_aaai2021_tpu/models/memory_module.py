@@ -59,7 +59,7 @@ class TopKMemory(nn.Module):
         q_topk, diff, q_st, new_cb = quantize_topk(
             z, cb, self.k, train=do_train, decay=self.decay, eps=self.eps,
             axis_name=self.axis_name,
-            use_pallas=self.use_pallas and not do_train,
+            use_pallas=self.use_pallas and self.axis_name is None,
             per_sample=self.per_sample_diff,
         )
         if do_train:

@@ -66,26 +66,20 @@ def codebook_distances(flat: jax.Array, embed: jax.Array) -> jax.Array:
     return z_sq - 2.0 * cross + e_sq
 
 
-def ema_update(
+def ema_apply(
     codebook: Codebook,
-    flat: jax.Array,
-    top1_idx: jax.Array,
+    counts: jax.Array,
+    embed_sum: jax.Array,
     decay: float = 0.99,
     eps: float = 1e-5,
     axis_name: Optional[str] = None,
 ) -> Codebook:
-    """EMA codebook update with Laplace smoothing (unet.py:298-309).
-
-    Under data parallelism the per-shard one-hot statistics are ``psum``'d
-    over ``axis_name`` before the EMA so every replica applies the identical
-    global update (the reference is single-GPU and has no analogue).
+    """Apply the EMA + Laplace smoothing given the batch statistics
+    (unet.py:298-309).  Under data parallelism the per-shard statistics are
+    ``psum``'d over ``axis_name`` before the EMA so every replica applies the
+    identical global update (the reference is single-GPU and has no analogue).
     """
     n_embed = codebook.embed.shape[1]
-    flat = flat.astype(jnp.float32)
-    onehot = jax.nn.one_hot(top1_idx, n_embed, dtype=jnp.float32)  # (N, n_embed)
-    counts = jnp.sum(onehot, axis=0)  # (n_embed,)
-    embed_sum = jnp.dot(flat.T, onehot, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
     if axis_name is not None:
         counts = jax.lax.psum(counts, axis_name)
         embed_sum = jax.lax.psum(embed_sum, axis_name)
@@ -95,6 +89,24 @@ def ema_update(
     smoothed = (cluster_size + eps) / (n + n_embed * eps) * n
     embed = embed_avg / smoothed[None, :]
     return Codebook(embed=embed, cluster_size=cluster_size, embed_avg=embed_avg)
+
+
+def ema_update(
+    codebook: Codebook,
+    flat: jax.Array,
+    top1_idx: jax.Array,
+    decay: float = 0.99,
+    eps: float = 1e-5,
+    axis_name: Optional[str] = None,
+) -> Codebook:
+    """EMA update computing the one-hot statistics from indices (XLA path)."""
+    n_embed = codebook.embed.shape[1]
+    flat = flat.astype(jnp.float32)
+    onehot = jax.nn.one_hot(top1_idx, n_embed, dtype=jnp.float32)  # (N, n_embed)
+    counts = jnp.sum(onehot, axis=0)  # (n_embed,)
+    embed_sum = jnp.dot(flat.T, onehot, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+    return ema_apply(codebook, counts, embed_sum, decay, eps, axis_name)
 
 
 def quantize_topk(
@@ -144,10 +156,24 @@ def quantize_topk(
     lead_shape = z.shape[:-1]
     flat = z.reshape(-1, dim)
 
-    if use_pallas and not train:
+    ema_stats = None
+    # pallas_call has no VJP rule; in top1 mode the lookup legitimately
+    # carries no gradient (reference embed is a buffer, indices are ints), so
+    # the kernel runs on stop_gradient'd inputs — the encoder's only gradient
+    # from this op is the commit loss, computed outside the kernel on z.
+    flat_ng = jax.lax.stop_gradient(flat)
+    if use_pallas and train and st_mode == "top1":
+        # training-path kernel also emits the EMA statistics in one pass
+        from .memory_pallas import quantize_topk_pallas_train
+
+        q_topk_flat, q1_flat, top1_idx, counts, embed_sum = (
+            quantize_topk_pallas_train(flat_ng, codebook.embed, k))
+        ema_stats = (counts, embed_sum)
+    elif use_pallas and not train:
         from .memory_pallas import quantize_topk_pallas
 
-        q_topk_flat, q1_flat, top1_idx = quantize_topk_pallas(flat, codebook.embed, k)
+        q_topk_flat, q1_flat, top1_idx = quantize_topk_pallas(
+            flat_ng, codebook.embed, k)
     else:
         dist = codebook_distances(flat, codebook.embed)  # (N, n_embed)
         # top-k smallest distances == top-k largest of -dist (unet.py:294).
@@ -182,9 +208,14 @@ def quantize_topk(
 
     new_codebook = codebook
     if train:
-        new_codebook = ema_update(
-            codebook, flat, top1_idx, decay=decay, eps=eps, axis_name=axis_name
-        )
+        if ema_stats is not None:
+            new_codebook = ema_apply(codebook, *ema_stats, decay=decay,
+                                     eps=eps, axis_name=axis_name)
+        else:
+            new_codebook = ema_update(
+                codebook, flat, top1_idx, decay=decay, eps=eps,
+                axis_name=axis_name
+            )
 
     q_topk = q_out_flat.reshape(*lead_shape, k * dim).astype(z.dtype)
     q_st = q_st_flat.reshape(*lead_shape, dim).astype(z.dtype)

@@ -81,6 +81,124 @@ def _quantize_kernel(flat_ref, embed_ref, embed_t_ref, qtopk_ref, q1_ref,
             idx_ref[:] = idx.astype(jnp.int32)[:, None]
         remaining = remaining + onehot * _BIG
 
+def _quantize_train_kernel(flat_ref, embed_ref, embed_t_ref, qtopk_ref,
+                           q1_ref, idx_ref, counts_ref, esum_ref,
+                           *, k: int, n_embed: int, dim: int):
+    """Training variant: additionally accumulates the EMA statistics
+    (one-hot counts and z^T.onehot codeword sums) across grid steps into
+    revisited output blocks — the scatter-add the torch version does on host
+    buffers happens here on the MXU."""
+    i = pl.program_id(0)
+    flat = flat_ref[:].astype(jnp.float32)
+    embed = embed_ref[:].astype(jnp.float32)
+    embed_t = embed_t_ref[:].astype(jnp.float32)
+    tile_n = flat.shape[0]
+
+    e_sq = jnp.sum(embed * embed, axis=0, keepdims=True)
+    dist = -2.0 * jnp.dot(flat, embed, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST) + e_sq
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, n_embed), 1)
+    remaining = dist
+    onehot1 = None
+    for j in range(k):
+        m = jnp.min(remaining, axis=1, keepdims=True)
+        is_min = remaining <= m
+        idx_min = jnp.min(jnp.where(is_min, col_ids, n_embed), axis=1,
+                          keepdims=True)
+        onehot = (col_ids == idx_min).astype(jnp.float32)
+        q_j = jnp.dot(onehot, embed_t, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        qtopk_ref[:, j * dim : (j + 1) * dim] = q_j
+        if j == 0:
+            onehot1 = onehot
+            q1_ref[:] = q_j
+            idx = jnp.sum(onehot * col_ids.astype(jnp.float32), axis=1)
+            idx_ref[:] = idx.astype(jnp.int32)[:, None]
+        remaining = remaining + onehot * _BIG
+
+    # EMA statistics, accumulated across the (sequential) TPU grid into the
+    # revisited (1, n_embed)/(dim, n_embed) output blocks
+    tile_counts = jnp.sum(onehot1, axis=0, keepdims=True)  # (1, n_embed)
+    tile_esum = jnp.dot(flat.T, onehot1,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (dim, n_embed)
+
+    @pl.when(i == 0)
+    def _():
+        counts_ref[:] = tile_counts
+        esum_ref[:] = tile_esum
+
+    @pl.when(i > 0)
+    def _():
+        counts_ref[:] = counts_ref[:] + tile_counts
+        esum_ref[:] = esum_ref[:] + tile_esum
+
+
+def quantize_topk_pallas_train(
+    flat: jax.Array, embed: jax.Array, k: int, tile_n: int = 512,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Training-path fused kernel: lookup outputs PLUS the EMA statistics
+    (counts (n_embed,), embed_sum (dim, n_embed)) in one pass.
+
+    Padded rows select real codewords; their contribution to the statistics
+    is removed by the caller via the returned top1 indices? No — simpler:
+    padded rows are zero vectors whose nearest codeword contaminates counts,
+    so the caller must pass an exact multiple of tile_n or accept the
+    correction applied here: the wrapper subtracts the pad rows' (known,
+    identical) contribution on the host side.
+    """
+    n, dim = flat.shape
+    n_embed = embed.shape[1]
+    n_pad = -(-n // tile_n) * tile_n
+    flat_p = jnp.pad(flat, ((0, n_pad - n), (0, 0)))
+    grid = (n_pad // tile_n,)
+
+    kernel = functools.partial(_quantize_train_kernel, k=k, n_embed=n_embed,
+                               dim=dim)
+    q_topk, q1, idx, counts, esum = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, n_embed), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_embed, dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, k * dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_embed), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, n_embed), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, k * dim), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, dim), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_embed), jnp.float32),
+            jax.ShapeDtypeStruct((dim, n_embed), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(flat_p, embed, embed.T)
+    counts = counts[0]
+    if n_pad != n:
+        # pad rows are zero vectors: their embed_sum contribution is zero
+        # (0^T @ onehot) but each adds 1 to its chosen codeword's count —
+        # subtract those using the returned pad-row indices
+        pad_idx = idx[n:, 0]
+        correction = jax.nn.one_hot(pad_idx, n_embed,
+                                    dtype=jnp.float32).sum(axis=0)
+        counts = counts - correction
+    return q_topk[:n], q1[:n], idx[:n, 0], counts, esum
+
+
 def quantize_topk_pallas(
     flat: jax.Array, embed: jax.Array, k: int, tile_n: int = 512,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:

@@ -143,4 +143,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:  # transient tunnel/RPC failures: one clean retry
+        import traceback
+
+        traceback.print_exc()
+        time.sleep(10)
+        main()

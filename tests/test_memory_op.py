@@ -228,3 +228,38 @@ class TestPallasKernel:
         q_pal, *_ = quantize_topk(z, cb, K, train=False, use_pallas=True)
         np.testing.assert_allclose(np.asarray(q_pal), np.asarray(q_ref),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_train_kernel_matches_pure_jax_ema(self, setup):
+        """The training kernel's in-kernel EMA statistics (incl. the pad-row
+        count correction) must give the same codebook update as pure JAX."""
+        cb, z = setup
+        q_ref, diff_ref, _, cb_ref = quantize_topk(z, cb, K, train=True)
+        q_pal, diff_pal, _, cb_pal = quantize_topk(z, cb, K, train=True,
+                                                   use_pallas=True)
+        np.testing.assert_allclose(np.asarray(q_pal), np.asarray(q_ref),
+                                   rtol=1e-5, atol=1e-5)
+        assert float(diff_pal) == pytest.approx(float(diff_ref), rel=1e-5)
+        np.testing.assert_allclose(np.asarray(cb_pal.cluster_size),
+                                   np.asarray(cb_ref.cluster_size),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cb_pal.embed_avg),
+                                   np.asarray(cb_ref.embed_avg),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cb_pal.embed),
+                                   np.asarray(cb_ref.embed),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_train_kernel_gradients_match(self, setup):
+        """Encoder gradient (through the commit loss) must be unchanged by
+        the kernel path."""
+        cb, z = setup
+
+        def loss(z, use_pallas):
+            _, diff, _, _ = quantize_topk(z, cb, K, train=True,
+                                          use_pallas=use_pallas)
+            return diff
+
+        g_ref = jax.grad(lambda z: loss(z, False))(z)
+        g_pal = jax.grad(lambda z: loss(z, True))(z)
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-8)
