@@ -93,17 +93,35 @@ def main(argv=None) -> dict:
 
     variables = gen.init({"params": jax.random.PRNGKey(cfg.seed)},
                          jnp.zeros(rgb_shape), jnp.zeros(op_shape))
-    if args.ckptfile:
-        if args.ckptfile.endswith(".msgpack"):
-            variables = load_msgpack(args.ckptfile, variables)
+
+    ckptfile = args.ckptfile
+    if not ckptfile and args.exp_tag:
+        # resolve the run's latest training checkpoint automatically
+        from ..train.checkpoint import latest_step
+
+        ckpt_dir = os.path.join(run_dir, "training", "checkpoints")
+        step = latest_step(ckpt_dir)
+        if step is not None:
+            ckptfile = os.path.join(ckpt_dir, f"{step:06d}")
+    if ckptfile:
+        if ckptfile.endswith(".pth"):
+            from ..tools.torch_convert import convert_pth
+
+            variables = convert_pth(ckptfile, cfg.net.net_tag)
+            variables = jax.tree.map(jnp.asarray, variables)
+        elif ckptfile.endswith(".msgpack"):
+            variables = load_msgpack(ckptfile, variables)
         else:
-            restored = restore_checkpoint(os.path.dirname(args.ckptfile),
-                                          {"generator": variables},
-                                          step=int(os.path.basename(args.ckptfile)))
-            variables = restored["generator"]
-        logger.info("loaded checkpoint %s", args.ckptfile)
+            restored = restore_checkpoint(os.path.dirname(ckptfile),
+                                          step=int(os.path.basename(ckptfile)))
+            if "g_params" in restored:  # full train state (train_loop format)
+                variables = {"params": restored["g_params"],
+                             **restored["g_state"]}
+            else:
+                variables = restored
+        logger.info("loaded checkpoint %s", ckptfile)
     else:
-        logger.warning("no --ckptfile: scoring with RANDOM weights (smoke run)")
+        logger.warning("no checkpoint: scoring with RANDOM weights (smoke run)")
 
     flow_extractor = None
     if args.on_the_fly_flow:

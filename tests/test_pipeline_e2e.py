@@ -93,6 +93,30 @@ class TestRunTrainCLI:
         assert os.path.exists(os.path.join(run_dir, "summary", "scalars.csv"))
 
 
+class TestExpTagRoundTrip:
+    def test_run_test_resolves_exp_tag(self, toydata, tmp_path):
+        """Train registers exp_tag -> run dir with its config; run_test
+        --exp_tag must rebuild the exact train-time architecture
+        (reference train->test round-trip, models/__init__.py:61-70,149-181)."""
+        from ammcnet_aaai2021_tpu.runners.run_test import main as test_main
+        from ammcnet_aaai2021_tpu.runners.run_train import main as train_main
+
+        registry = str(tmp_path / "registry.json")
+        train_main(["--dataset_name", "toydata", "--data_dir", toydata,
+                    "--image_size", "64", "--batch_size", "2",
+                    "--iterations", "1", "--save_dir", str(tmp_path / "runs"),
+                    "--registry", registry, "--n_embed", "32", "--k", "1",
+                    "--exp_tag", "roundtrip"])
+        ret = test_main(["--dataset_name", "toydata", "--data_dir", toydata,
+                         "--save_dir", str(tmp_path / "eval"),
+                         "--batch_size", "4", "--exp_tag", "roundtrip",
+                         "--registry", registry])
+        # if the n_embed=32/k=1 config had not round-tripped, the generator
+        # built here would differ from the trained one; success implies the
+        # architecture was rebuilt from the registry config
+        assert 0.0 <= ret["auc"] <= 1.0
+
+
 class TestNativeLoader:
     def test_native_matches_python_loader(self, toydata):
         from ammcnet_aaai2021_tpu.data import native
