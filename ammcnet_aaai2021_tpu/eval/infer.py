@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.datasets import VideoIndex
-from ..ops.metrics import psnr_per_frame
+from ..ops.metrics import PER_FRAME_METRICS, psnr_per_frame
 
 
 def make_twostream_scorer(generator, variables,
@@ -67,7 +67,7 @@ def make_video_scorer(generator, variables,
                       clip_len_rgb: int = 5, clip_len_op: int = 4,
                       window_batch: int = 16,
                       rgb_channels: int = 3, op_channels: int = 2,
-                      mesh=None) -> Callable:
+                      mesh=None, metric: str = "psnr") -> Callable:
     """Video-resident scorer: the whole sub-video lives on device (uint8
     frames + float flows, uploaded ONCE); each call gathers a batch of
     sliding windows on-device, normalizes, channel-stacks, and scores —
@@ -92,6 +92,8 @@ def make_video_scorer(generator, variables,
         # (b,t,h,w,c) -> (b,h,w,t*c): channel order [f0_c0..f0_cn, f1_c0..]
         return jnp.transpose(frames, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
 
+    metric_fn = PER_FRAME_METRICS[metric]
+
     def score_windows(video_rgb_u8: jax.Array, video_op: jax.Array,
                       idx: jax.Array):
         rgb = (video_rgb_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
@@ -105,9 +107,9 @@ def make_video_scorer(generator, variables,
             variables, rgb_input, op_input, False)
         rgb_diff, op_diff = diffs
         return (
-            psnr_per_frame(rgb_pred, rgb_target),
+            metric_fn(rgb_pred, rgb_target),
             jnp.broadcast_to(rgb_diff, rgb_pred.shape[:1]).astype(jnp.float32),
-            psnr_per_frame(op_pred, op_target),
+            metric_fn(op_pred, op_target.astype(jnp.float32)),
             jnp.broadcast_to(op_diff, op_pred.shape[:1]).astype(jnp.float32),
         )
 
@@ -316,6 +318,7 @@ def score_dataset(
     reproduce_flow_bug: bool = True,
     logger=None,
     flow_extractor: Optional[Callable] = None,
+    metric: str = "psnr",
 ) -> Tuple[Dict, float]:
     """Per-video batched scoring over a test set.
 
@@ -333,7 +336,8 @@ def score_dataset(
     # lax.map variant is available via make_full_video_scorer but its larger
     # program is pathological on this environment's remote-compile service)
     scorer = make_video_scorer(generator, variables, clip_len_rgb,
-                               clip_len_op, window_batch=batch_size)
+                               clip_len_op, window_batch=batch_size,
+                               metric=metric)
     rgb_index = VideoIndex(rgb_root)
     op_index = VideoIndex(op_root) if flow_extractor is None else None
     size = (image_size, image_size)

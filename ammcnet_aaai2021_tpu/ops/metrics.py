@@ -33,6 +33,12 @@ def psnr_error(gen: jax.Array, gt: jax.Array) -> jax.Array:
     return jnp.mean(psnr_per_frame(gen, gt))
 
 
+def mse_per_frame(gen: jax.Array, gt: jax.Array) -> jax.Array:
+    """Per-frame MSE x 256 (reference utils.py:97-111 scales by 16*16)."""
+    d = gt.astype(jnp.float32) - gen.astype(jnp.float32)
+    return jnp.mean(jnp.square(d), axis=(1, 2, 3)) * 256.0
+
+
 def mse_error(gen: jax.Array, gt: jax.Array) -> jax.Array:
     """MSE x 256 (reference utils.py:97-111 scales by 16*16)."""
     return jnp.mean(jnp.square(gt.astype(jnp.float32) - gen.astype(jnp.float32))) * 256.0
@@ -83,6 +89,21 @@ def ssim(gen: jax.Array, gt: jax.Array, window_size: int = 11,
 
 def ssim_error(gen: jax.Array, gt: jax.Array) -> jax.Array:
     return ssim(gen, gt)
+
+
+def ssim_per_frame(gen: jax.Array, gt: jax.Array, window_size: int = 11,
+                   sigma: float = 1.5) -> jax.Array:
+    """Per-frame SSIM (batched mean over each frame's map)."""
+    per = jax.vmap(lambda a, b: ssim(a[None], b[None], window_size, sigma))
+    return per(gen, gt)
+
+
+# scoring-metric registry (reference loss_func_mapp, test_helper.py:397-401)
+PER_FRAME_METRICS = {
+    "psnr": psnr_per_frame,
+    "mse": mse_per_frame,
+    "ssim": ssim_per_frame,
+}
 
 
 def gray_diff(gen: jax.Array, gt: jax.Array) -> jax.Array:

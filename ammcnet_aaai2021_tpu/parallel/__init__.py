@@ -1,4 +1,5 @@
 from .mesh import batch_sharding, make_mesh, replicate, replicated, shard_batch
+from .multihost import host_seed, host_shard, make_global_batch
 
 __all__ = ["batch_sharding", "make_mesh", "replicate", "replicated",
-           "shard_batch"]
+           "shard_batch", "host_seed", "host_shard", "make_global_batch"]

@@ -40,6 +40,10 @@ def parser_args(argv=None):
     p.add_argument("--save_dir", default="eval_out")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--eval_type", default="img_pred_fea_comm_rgb_auc")
+    p.add_argument("--metric", default="psnr",
+                   choices=["psnr", "mse", "ssim"],
+                   help="per-frame prediction-quality metric "
+                        "(reference loss_func_mapp)")
     p.add_argument("--lam_fea_comm", type=float, default=None)
     p.add_argument("--lam_smooth", type=float, default=None)
     p.add_argument("--image_size", type=int, default=None)
@@ -151,7 +155,7 @@ def main(argv=None) -> dict:
         clip_len_op=cfg.data.clip_length_op,
         batch_size=args.batch_size, image_size=size,
         reproduce_flow_bug=not args.fix_flow_bug, logger=logger,
-        flow_extractor=flow_extractor)
+        flow_extractor=flow_extractor, metric=args.metric)
 
     pickle_dir = os.path.join(args.save_dir, args.eval_type, "save_pickle")
     os.makedirs(pickle_dir, exist_ok=True)

@@ -125,6 +125,56 @@ class TestAltMetrics:
         np.testing.assert_allclose(tpr, tpr_sk, atol=1e-12)
 
 
+class TestPerFrameMetrics:
+    def test_registry_and_values(self, rng):
+        import jax.numpy as jnp
+
+        from ammcnet_aaai2021_tpu.ops.metrics import (
+            PER_FRAME_METRICS, mse_per_frame, psnr_per_frame, ssim_per_frame)
+
+        assert set(PER_FRAME_METRICS) == {"psnr", "mse", "ssim"}
+        a = jnp.asarray(rng.uniform(-1, 1, (3, 16, 16, 3)).astype(np.float32))
+        assert np.allclose(np.asarray(ssim_per_frame(a, a)), 1.0, atol=1e-5)
+        assert np.all(np.asarray(mse_per_frame(a, a)) == 0.0)
+        # psnr of identical frames is +inf; a perturbed pair is finite
+        b = a * 0.99
+        assert np.all(np.isfinite(np.asarray(psnr_per_frame(a, b))))
+
+    def test_ssim_matches_torch_oracle(self, rng):
+        torch = pytest.importorskip("torch")
+        import jax.numpy as jnp
+        import torch.nn.functional as F
+
+        from ammcnet_aaai2021_tpu.ops.metrics import ssim_per_frame
+
+        a = rng.uniform(-1, 1, (2, 24, 24, 3)).astype(np.float32)
+        b = (a + 0.05 * rng.normal(size=a.shape)).astype(np.float32)
+
+        def torch_ssim(x, y, window_size=11, sigma=1.5):
+            coords = torch.arange(window_size).float() - window_size // 2
+            g = torch.exp(-(coords ** 2) / (2 * sigma ** 2))
+            g = g / g.sum()
+            w2 = torch.outer(g, g)
+            C = x.shape[1]
+            w = w2.expand(C, 1, window_size, window_size).contiguous()
+            pad = window_size // 2
+            mu1 = F.conv2d(x, w, padding=pad, groups=C)
+            mu2 = F.conv2d(y, w, padding=pad, groups=C)
+            s1 = F.conv2d(x * x, w, padding=pad, groups=C) - mu1 * mu1
+            s2 = F.conv2d(y * y, w, padding=pad, groups=C) - mu2 * mu2
+            s12 = F.conv2d(x * y, w, padding=pad, groups=C) - mu1 * mu2
+            C1, C2 = 0.01 ** 2, 0.03 ** 2
+            m = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / (
+                (mu1 * mu1 + mu2 * mu2 + C1) * (s1 + s2 + C2))
+            return m.mean(dim=(1, 2, 3))
+
+        ref = torch_ssim(torch.from_numpy(a.transpose(0, 3, 1, 2).copy()),
+                         torch.from_numpy(b.transpose(0, 3, 1, 2).copy()))
+        got = ssim_per_frame(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestOnTheFlyFlow:
     def test_extractor_shapes_and_normalization(self, rng):
         import jax
