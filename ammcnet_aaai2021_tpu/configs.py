@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 IMAGE_SIZE: int = 256
 CHANNEL: Dict[str, int] = {"rgb": 3, "op": 2}

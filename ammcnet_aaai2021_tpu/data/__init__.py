@@ -12,8 +12,6 @@ VideoIndex directly).
 
 from __future__ import annotations
 
-from typing import Optional
-
 from .flo import read_flo, write_flo
 
 __all__ = ["read_flo", "write_flo", "get_dataset"]

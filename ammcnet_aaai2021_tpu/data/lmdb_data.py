@@ -16,7 +16,7 @@ pattern and the recommended path on TPU hosts).
 from __future__ import annotations
 
 import io
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

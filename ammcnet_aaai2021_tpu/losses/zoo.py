@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Callable, Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from ..configs import LossConfig
 from .primitives import (

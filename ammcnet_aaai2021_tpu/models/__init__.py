@@ -25,7 +25,7 @@ returns the PixelDiscriminator and the frozen FlowNet2-SD teacher
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax.numpy as jnp
 

@@ -19,7 +19,7 @@ Parity notes for the torch->jax checkpoint converter
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ so convs carry biases; BN mode is kept for completeness.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ the released AMMCNet model is :class:`~.unet_mem.TwoStreamUNetMem`.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

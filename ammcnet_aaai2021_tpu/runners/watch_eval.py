@@ -39,7 +39,6 @@ def main(argv=None):
 
     enable_compilation_cache()
     import jax
-    import jax.numpy as jnp
 
     from ..configs import FUSION_LAMBDAS
     from ..eval.gt import GroundTruthLoader

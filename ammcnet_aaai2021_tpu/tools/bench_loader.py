@@ -51,7 +51,7 @@ def bench_backend(backend: str, frames_root: str, image_size: int,
                 native.decode_video(index.videos[name], size)
 
     elif backend == "framepack":
-        from ..data.framepack import FramePack, pack_video_tree
+        from ..data.framepack import pack_video_tree
 
         tmp = tempfile.mkdtemp()
         pack = pack_video_tree(frames_root, os.path.join(tmp, "b.fpk"),

@@ -26,7 +26,6 @@ import jax
 import numpy as np
 
 from ..configs import STEP_LOG, STEP_SAVE_CKPT, STEP_SUMMARY
-from ..ops.metrics import psnr_error
 from .checkpoint import save_checkpoint
 
 

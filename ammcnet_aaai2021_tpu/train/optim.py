@@ -9,7 +9,7 @@ optimizer/__init__.py:40-42 — in optax that's a zero-update mask).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Tuple
 
 import optax
 

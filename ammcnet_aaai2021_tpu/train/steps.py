@@ -22,7 +22,6 @@ jitted step per recipe:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax

@@ -16,7 +16,7 @@ import fcntl
 import json
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 from ..configs import ExperimentConfig
 
