@@ -48,3 +48,30 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_params_tensor_parallel(mesh: Mesh, params,
+                                 min_channels: int = 512):
+    """Tensor-parallel placement for the wide bottleneck layers.
+
+    Conv kernels whose output-channel dim is >= ``min_channels`` (the 512-ch
+    bottleneck trunk convs and the AMFT bridge) shard that dim over the
+    mesh's 'model' axis; everything else replicates.  XLA propagates the
+    sharding through the matching activations and inserts the collectives —
+    the model is small enough that this is optional capacity headroom, not a
+    necessity (SURVEY.md 2.2), but the machinery is exercised end to end by
+    __graft_entry__.dryrun_multichip on a (data, model) mesh.
+    """
+    if "model" not in mesh.axis_names:
+        return replicate(mesh, params)
+    repl = replicated(mesh)
+    axis_size = mesh.shape["model"]
+
+    def place(x):
+        if (getattr(x, "ndim", 0) == 4 and x.shape[-1] >= min_channels
+                and x.shape[-1] % axis_size == 0):
+            return jax.device_put(
+                x, NamedSharding(mesh, P(None, None, None, "model")))
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(place, params)
