@@ -217,3 +217,40 @@ def convert_pth(path: str, net_tag: str = "unet_vq_twostream") -> Dict:
         p, s, c = convert_unetmem_stream(state_dict)
         return {"params": p, "batch_stats": s, "codebook": c}
     raise ValueError(f"no converter for net_tag {net_tag!r}")
+
+
+def main(argv=None):
+    """CLI: convert a torch .pth checkpoint to a flax .msgpack.
+
+    python -m ammcnet_aaai2021_tpu.tools.torch_convert ckpt.pth out.msgpack \
+        [--net_tag unet_vq_twostream | --flownet]
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("src", help="torch .pth state_dict")
+    p.add_argument("dst", help="output flax .msgpack")
+    p.add_argument("--net_tag", default="unet_vq_twostream")
+    p.add_argument("--flownet", action="store_true",
+                   help="convert a FlowNet2-SD checkpoint instead")
+    args = p.parse_args(argv)
+    variables = (convert_flownet_sd(args.src) if args.flownet
+                 else convert_pth(args.src, args.net_tag))
+    from ..train.checkpoint import save_msgpack
+
+    save_msgpack(args.dst, variables)
+    n = sum(np.asarray(x).size for x in _tree_leaves(variables))
+    print(f"converted {args.src} -> {args.dst} ({n:,} values)")
+    return args.dst
+
+
+def _tree_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _tree_leaves(v)
+    else:
+        yield tree
+
+
+if __name__ == "__main__":
+    main()

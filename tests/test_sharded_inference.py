@@ -37,3 +37,35 @@ class TestShardedScorer:
         for r, o in zip(ref, out):
             np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                        rtol=1e-5, atol=1e-5)
+
+
+class TestTensorParallelPlacement:
+    def test_bottleneck_kernels_shard_over_model(self, cpu_mesh_devices):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from ammcnet_aaai2021_tpu.configs import NetConfig
+        from ammcnet_aaai2021_tpu.models import build_generator
+        from ammcnet_aaai2021_tpu.parallel import shard_params_tensor_parallel
+
+        mesh = Mesh(np.asarray(cpu_mesh_devices).reshape(4, 2),
+                    ("data", "model"))
+        cfg = NetConfig(dtype="float32", use_pallas_memory=False, n_embed=32)
+        gen = build_generator(cfg)
+        vs = gen.init({"params": jax.random.PRNGKey(0)},
+                      jnp.zeros((1, 32, 32, 12)), jnp.zeros((1, 32, 32, 6)))
+        placed = shard_params_tensor_parallel(mesh, vs["params"])
+        # a 512-out-channel bottleneck kernel shards over 'model'
+        wide = placed["rgb"]["down3"]["conv"]["conv0"]["kernel"]
+        assert not wide.sharding.is_fully_replicated
+        # a narrow kernel stays replicated
+        narrow = placed["rgb"]["inc"]["conv0"]["kernel"]
+        assert narrow.sharding.is_fully_replicated
+        # the placed tree still powers a forward pass (XLA inserts collectives)
+        out = gen.apply({"params": placed,
+                         **{k: v for k, v in vs.items() if k != "params"}},
+                        jnp.zeros((2, 32, 32, 12)), jnp.zeros((2, 32, 32, 6)))
+        ref = gen.apply(vs, jnp.zeros((2, 32, 32, 12)),
+                        jnp.zeros((2, 32, 32, 6)))
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                                   rtol=1e-5, atol=1e-5)
