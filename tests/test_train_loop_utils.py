@@ -1,0 +1,76 @@
+"""Training-loop utility tests: scalar/image writers, prefetch iterator,
+step timer."""
+
+import csv
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from ammcnet_aaai2021_tpu.train.loop import ScalarWriter, prefetch
+from ammcnet_aaai2021_tpu.utils.profiling import StepTimer
+
+
+class TestScalarWriter:
+    def test_csv_and_reopen_append(self, tmp_path):
+        d = str(tmp_path / "sum")
+        w = ScalarWriter(d, use_tensorboard=False)
+        w.scalars(10, {"g_loss": 1.5, "d_loss": 0.3})
+        w.close()
+        w2 = ScalarWriter(d, use_tensorboard=False)
+        w2.scalars(20, {"g_loss": 1.2})
+        w2.close()
+        with open(os.path.join(d, "scalars.csv")) as fh:
+            rows = list(csv.DictReader(fh))
+        assert [(r["step"], r["tag"]) for r in rows] == [
+            ("10", "g_loss"), ("10", "d_loss"), ("20", "g_loss")]
+
+    def test_image_grid_flow_and_rgb(self, tmp_path, rng):
+        pytest.importorskip("torch.utils.tensorboard")
+        d = str(tmp_path / "sum")
+        w = ScalarWriter(d, use_tensorboard=True)
+        if w._tb is None:
+            pytest.skip("tensorboard writer unavailable")
+        # rgb in [-1, 1] and 2-channel flow both render without error
+        w.image_grid(1, "rgb/pred",
+                     rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32))
+        w.image_grid(1, "op/pred",
+                     rng.normal(size=(2, 8, 8, 2)).astype(np.float32))
+        w.close()
+        assert any(f.startswith("events") for f in os.listdir(d))
+
+
+class TestPrefetch:
+    def test_order_preserved_and_exhausts(self):
+        items = list(range(20))
+        out = list(prefetch(iter(items), depth=3))
+        assert out == items
+
+    def test_overlaps_production(self):
+        produced = []
+
+        def slow_gen():
+            for i in range(5):
+                time.sleep(0.02)
+                produced.append(i)
+                yield i
+
+        it = prefetch(slow_gen(), depth=2)
+        first = next(it)
+        time.sleep(0.08)  # producer should run ahead while we sleep
+        assert first == 0
+        assert len(produced) >= 3  # prefetched beyond what we consumed
+        assert list(it) == [1, 2, 3, 4]
+
+
+class TestStepTimer:
+    def test_fps_accounting(self):
+        t = StepTimer(window=10)
+        for _ in range(3):
+            with t.step():
+                time.sleep(0.01)
+        fps = t.fps(frames_per_step=4)
+        assert 50 < fps < 400  # ~4 / 0.01s, generous bounds
+        assert "fps/chip" in t.summary(4)
