@@ -233,20 +233,24 @@ def pad_video_to_bucket(video_rgb_u8: np.ndarray, video_op: np.ndarray,
     return video_rgb_u8, video_op, t
 
 
-def upload_video(video_rgb_u8: np.ndarray, video_op: np.ndarray):
+def upload_video(video_rgb_u8: np.ndarray, video_op: np.ndarray,
+                 flow_dtype=None):
     """Async-dispatch the per-video device transfers.
 
-    Frames travel as uint8 (their on-disk precision) and flows as bfloat16 —
-    the model's first conv casts inputs to bf16 anyway, so this halves the
-    PCIe bytes without changing what the network computes.  The bf16 cast
-    happens on host via ml_dtypes (vectorized, ~30ms for a 180-frame video;
-    ``jnp.asarray(..., dtype=bf16)`` is ~40x slower).  Returns device arrays
-    immediately (transfers are async and overlap subsequent work).
+    Frames travel as uint8 (their on-disk precision) and flows as bfloat16
+    by default — a bf16-computing model's first conv casts inputs to bf16
+    anyway, so the host-side cast halves the PCIe bytes without changing
+    what the network computes.  The cast runs via ml_dtypes (vectorized,
+    ~30ms for a 180-frame video; ``jnp.asarray(..., dtype=bf16)`` is ~40x
+    slower).  Pass ``flow_dtype=np.float32`` for f32-configured models.
+    Returns device arrays immediately (transfers are async).
     """
-    import ml_dtypes
+    if flow_dtype is None:
+        import ml_dtypes
 
+        flow_dtype = ml_dtypes.bfloat16
     return (jax.device_put(np.ascontiguousarray(video_rgb_u8)),
-            jax.device_put(video_op.astype(ml_dtypes.bfloat16)))
+            jax.device_put(video_op.astype(flow_dtype)))
 
 
 def launch_video_scoring(scorer: Callable, v_rgb, v_op,
@@ -367,12 +371,17 @@ def score_dataset(
     # three-stage pipeline: decode(i+1) on host threads || upload(i+1) to
     # device || compute(i) on chip — one jit dispatch and one result fetch
     # per video, all async so transfers and the TPU program overlap
+    # flows travel at the model's compute precision (bf16 default; f32 for
+    # float32-configured models so nothing is silently truncated)
+    flow_dtype = (None if getattr(generator, "dtype", jnp.bfloat16)
+                  == jnp.bfloat16 else np.float32)
+
     def upload_next(decoded):
         rgb_h, op_h, true_frames = decoded
         if flow_extractor is not None:
             v_rgb = jax.device_put(np.ascontiguousarray(rgb_h))
             return v_rgb, flow_extractor(v_rgb), true_frames
-        v_rgb, v_op = upload_video(rgb_h, op_h)
+        v_rgb, v_op = upload_video(rgb_h, op_h, flow_dtype)
         return v_rgb, v_op, true_frames
 
     next_decoded = pool.submit(decode_video, names[0])
