@@ -78,11 +78,18 @@ def build_generator(cfg: NetConfig, axis_name: Optional[str] = None,
                              residual_memory=False, **common)
     if tag == "unet_vq_topk_res":
         return UNetMemStream(out_channels=_single_out(cfg), **common)
-    if tag in ("unet_vq_twostream", "unet_vq_twostream_concat_dire",
-               "unet_vq_twostream_add_dire"):
+    if tag in ("unet_vq", "unet_vq_res"):
+        # these reference tags dispatch to UNetMem_v1/v2, which are broken
+        # dead code in the release (tuple-called outc layers etc.,
+        # SURVEY.md 2.3.6) — fail loudly rather than guess semantics
+        raise ValueError(
+            f"net_tag {tag!r} maps to non-runnable reference classes "
+            "(UNetMem_v1/v2); use unet_vq_topk / unet_vq_topk_res")
+    if tag in ("unet_vq_twostream", "twostream_concat_dire",
+               "twostream_add_dire"):
         bridge = {"unet_vq_twostream": "amft",
-                  "unet_vq_twostream_concat_dire": "concat_dire",
-                  "unet_vq_twostream_add_dire": "add_dire"}[tag]
+                  "twostream_concat_dire": "concat_dire",
+                  "twostream_add_dire": "add_dire"}[tag]
         return TwoStreamUNetMem(rgb_out=cfg.out_channel[0],
                                 op_out=cfg.out_channel[1],
                                 bridge_kind=bridge, **common)
@@ -102,7 +109,7 @@ def build_generator(cfg: NetConfig, axis_name: Optional[str] = None,
 
 NET_TAGS = (
     "unet", "unet_vq_topk", "unet_vq_topk_res", "unet_vq_twostream",
-    "unet_vq_twostream_concat_dire", "unet_vq_twostream_add_dire",
+    "twostream_concat_dire", "twostream_add_dire",
     "vqvae", "vqvae_topk", "vqvae_topk_res", "vqvae_twostream",
 )
 

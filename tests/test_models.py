@@ -133,6 +133,23 @@ class TestFactory:
         model = build_model(NetConfig(), mode="testing")
         assert model.discriminator is None and model.flow_network is None
 
+    def test_broken_reference_tags_fail_loudly(self):
+        # unet_vq / unet_vq_res dispatch to UNetMem_v1/v2 in the reference,
+        # which are non-runnable dead code (SURVEY.md 2.3.6)
+        for tag in ("unet_vq", "unet_vq_res"):
+            with pytest.raises(ValueError, match="non-runnable"):
+                build_generator(NetConfig(net_tag=tag, dtype="float32"))
+
+    def test_tags_match_reference_net_map(self):
+        # reference net_map keys (models/__init__.py:92-107) minus the two
+        # broken ones == our NET_TAGS
+        reference_tags = {
+            "vqvae", "vqvae_topk", "vqvae_topk_res", "vqvae_twostream",
+            "unet", "unet_vq_topk", "unet_vq_topk_res", "unet_vq_twostream",
+            "twostream_concat_dire", "twostream_add_dire",
+        }
+        assert set(NET_TAGS) == reference_tags
+
 
 class TestTorchParity:
     """Numeric parity for conversion-critical layers against torch CPU."""
