@@ -46,6 +46,10 @@ def parser_args(argv=None):
     p.add_argument("--lam_fea_comm", type=float, default=None)
     p.add_argument("--lam_smooth", type=float, default=None)
     p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--batch_commit", action="store_true",
+                   help="reference-exact commit scores: one batch-mean "
+                        "fea_comm value replicated over the batch "
+                        "(test_helper.py:446) instead of per-frame")
     p.add_argument("--fix_flow_bug", action="store_true",
                    help="use the corrected flow-channel loader (default "
                         "reproduces the reference bug for ckpt parity)")
@@ -86,7 +90,8 @@ def main(argv=None) -> dict:
             cfg, net=dataclasses.replace(cfg.net, image_size=args.image_size),
             data=dataclasses.replace(cfg.data, image_size=args.image_size))
 
-    model = build_model(cfg.net, mode="testing", per_sample_diff=True)
+    model = build_model(cfg.net, mode="testing",
+                        per_sample_diff=not args.batch_commit)
     gen = model.generator
 
     size = cfg.data.image_size
