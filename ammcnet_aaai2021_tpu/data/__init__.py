@@ -65,12 +65,13 @@ def get_dataset(data_type: str, mode: str, which_ds: str = "normal",
         return LMDBClipTrain(root, clip_len, seed=seed)
 
     if which_ds == "framepack":
-        from .framepack import FramePack, FramePackTrainSampler
+        from .framepack import (FramePack, FramePackTrainSampler,
+                                FramePackTwoStreamSampler)
 
         if data_type == "rgb_op":
-            raise NotImplementedError(
-                "two-stream framepack sampling: open two packs and use "
-                "FramePackTrainSampler per stream with a shared seed")
+            return FramePackTwoStreamSampler(
+                FramePack(rgb_root), FramePack(op_root),
+                clip_len_rgb=clip_len_rgb, clip_len_op=clip_len_op, seed=seed)
         root = rgb_root if data_type == "rgb" else op_root
         clip_len = clip_len_rgb if data_type == "rgb" else clip_len_op
         return FramePackTrainSampler(FramePack(root), clip_len, seed=seed,

@@ -112,6 +112,37 @@ class FramePackTrainSampler:
         return np.stack([self.sample() for _ in range(batch_size)])
 
 
+class FramePackTwoStreamSampler:
+    """Frame-aligned rgb/op clip pairs over two FramePacks (the framepack
+    counterpart of TwoStreamTrainSampler; rgb normalization stays in the jit
+    region, so rgb clips return uint8 unless ``normalize_rgb``)."""
+
+    def __init__(self, rgb_pack: FramePack, op_pack: FramePack,
+                 clip_len_rgb: int = 5, clip_len_op: int = 4,
+                 seed: int = 2017, normalize_rgb: bool = True):
+        self.rgb_pack, self.op_pack = rgb_pack, op_pack
+        self.clip_len_rgb, self.clip_len_op = clip_len_rgb, clip_len_op
+        self.rng = np.random.default_rng(seed)
+        self.normalize_rgb = normalize_rgb
+        self.names = [n for n in rgb_pack.names if n in op_pack.videos]
+        assert self.names, "no common sub-videos between the two packs"
+
+    def sample(self) -> Dict[str, np.ndarray]:
+        name = self.names[self.rng.integers(len(self.names))]
+        max_off = min(self.rgb_pack.length(name) - self.clip_len_rgb,
+                      self.op_pack.length(name) - self.clip_len_op)
+        off = int(self.rng.integers(max_off + 1))
+        rgb = self.rgb_pack.clip(name, off, self.clip_len_rgb)
+        if self.normalize_rgb:
+            rgb = (rgb.astype(np.float32) / 255.0 - 0.5) / 0.5
+        return {"rgb": rgb,
+                "op": self.op_pack.clip(name, off, self.clip_len_op)}
+
+    def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        samples = [self.sample() for _ in range(batch_size)]
+        return {k: np.stack([s[k] for s in samples]) for k in ("rgb", "op")}
+
+
 def pack_video_tree(frames_root: str, out_path: str, image_size: int = 256,
                     data_type: str = "rgb",
                     reproduce_flow_bug: bool = True) -> FramePack:

@@ -55,6 +55,10 @@ def parser_args(argv=None):
     p.add_argument("--step_log", type=int, default=10)
     p.add_argument("--step_summary", type=int, default=100)
     p.add_argument("--step_save", type=int, default=1000)
+    p.add_argument("--backend", default="normal",
+                   choices=["normal", "framepack", "lmdb"],
+                   help="training data backend; framepack/lmdb roots point "
+                        "at packed files instead of frame trees")
     p.add_argument("--resume", default="",
                    help="run dir (or exp_tag via registry) to resume from: "
                         "restores the FULL training state incl. optimizer "
@@ -113,12 +117,19 @@ def main(argv=None):
     net = NetConfig(net_tag=args.net_tag, data_type=args.data_type,
                     embed_dim=args.embed_dim, n_embed=args.n_embed, k=args.k,
                     image_size=size)
+    if args.backend == "framepack":
+        rgb_root = os.path.join(args.data_dir, args.dataset_name,
+                                "training", "frames.fpk")
+        op_root = os.path.join(args.data_dir, args.dataset_name,
+                               "training", "flows.fpk")
+    else:
+        rgb_root = os.path.join(args.data_dir, args.dataset_name,
+                                "training", "frames")
+        op_root = os.path.join(args.data_dir, args.dataset_name,
+                               "training", "flows")
     data = DataConfig(
         dataset_name=args.dataset_name, data_type=args.data_type,
-        rgb_root=os.path.join(args.data_dir, args.dataset_name, "training",
-                              "frames"),
-        op_root=os.path.join(args.data_dir, args.dataset_name, "training",
-                             "flows"),
+        rgb_root=rgb_root, op_root=op_root,
         image_size=size, aligned_two_stream_sampling=args.aligned_sampling)
     loss_cfg = LossConfig(loss_tag=args.loss_tag)
     optim = OptimConfig(lr_g=args.lr_g, lr_d=args.lr_d,
@@ -191,11 +202,22 @@ def main(argv=None):
         step_fn = jax.jit(make_twostream_train_step(
             gen, disc, flownet, loss_cfg, g_tx, d_tx))
 
-        sampler = TwoStreamTrainSampler(
-            VideoIndex(data.rgb_root), VideoIndex(data.op_root),
-            clip_len_rgb=5, clip_len_op=4,
-            aligned=args.aligned_sampling, image_size=size,
-            reproduce_flow_bug=data.reproduce_flow_channel_bug)
+        if args.backend == "normal":
+            sampler = TwoStreamTrainSampler(
+                VideoIndex(data.rgb_root), VideoIndex(data.op_root),
+                clip_len_rgb=5, clip_len_op=4,
+                aligned=args.aligned_sampling, image_size=size,
+                reproduce_flow_bug=data.reproduce_flow_channel_bug)
+        else:
+            from ..data import get_dataset
+
+            sampler = get_dataset(
+                "rgb_op", "training", args.backend,
+                rgb_root=data.rgb_root, op_root=data.op_root,
+                clip_len_rgb=5, clip_len_op=4, image_size=size,
+                aligned=args.aligned_sampling,
+                reproduce_flow_bug=data.reproduce_flow_channel_bug,
+                seed=args.seed)
 
         def batches():
             while True:

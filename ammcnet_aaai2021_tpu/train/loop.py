@@ -121,11 +121,15 @@ def train_loop(
     ckpt_dir = os.path.join(run_dir, "training", "checkpoints")
     t_data0 = time.time()
     step_times, data_times = [], []
+    # the device-side state.step is authoritative for checkpoints/resume; a
+    # host-side mirror avoids a device sync per iteration (reading the scalar
+    # costs a full RPC round-trip on remote-device setups)
+    step = int(state.step)
     for batch in prefetch(batch_iter):
         data_times.append(time.time() - t_data0)
         t0 = time.time()
         state, metrics = train_step(state, batch, flow_vars)
-        step = int(state.step)
+        step += 1
         if step % step_log == 0:
             jax.block_until_ready(metrics)
         step_times.append(time.time() - t0)
