@@ -219,28 +219,50 @@ def main(argv=None):
                 reproduce_flow_bug=data.reproduce_flow_channel_bug,
                 seed=args.seed)
 
-        def batches():
-            while True:
-                b = sampler.batch(args.batch_size)
-                yield {k: jnp.asarray(v) for k, v in b.items()}
+        fast_transfer = args.backend == "framepack"
+        if fast_transfer:
+            # u8 rgb + bf16 flows over PCIe (3x fewer bytes); the jitted step
+            # normalizes in-range like the fused inference scorer
+            import ml_dtypes
+
+            sampler.normalize_rgb = False
+
+            def batches():
+                while True:
+                    b = sampler.batch(args.batch_size)
+                    yield {"rgb": jnp.asarray(b["rgb"]),
+                           "op": jnp.asarray(
+                               b["op"].astype(ml_dtypes.bfloat16))}
+        else:
+            def batches():
+                while True:
+                    b = sampler.batch(args.batch_size)
+                    yield {k: jnp.asarray(v) for k, v in b.items()}
+
+        def _rng(x):
+            if x.dtype == jnp.uint8:
+                return (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+            return x
 
         def psnr_fn(state, batch):
             variables = {"params": state.g_params, **state.g_state}
-            rgb = batch["rgb"]
+            rgb = _rng(batch["rgb"])
+            op = batch["op"].astype(jnp.float32)
             pred, _, _, _ = gen.apply(variables, rgb[..., :-3],
-                                      batch["op"][..., :-2], False)
+                                      op[..., :-2], False)
             return psnr_error(pred, rgb[..., -3:])
 
         def vis_fn(state, batch):
             variables = {"params": state.g_params, **state.g_state}
+            rgb = _rng(batch["rgb"])
+            op = batch["op"].astype(jnp.float32)
             rgb_pred, op_pred, _, _ = gen.apply(
-                variables, batch["rgb"][..., :-3], batch["op"][..., :-2],
-                False)
+                variables, rgb[..., :-3], op[..., :-2], False)
             n = min(4, rgb_pred.shape[0])
             return {"rgb/pred": rgb_pred[:n],
-                    "rgb/target": batch["rgb"][..., -3:][:n],
+                    "rgb/target": rgb[..., -3:][:n],
                     "op/pred": op_pred[:n],
-                    "op/target": batch["op"][..., -2:][:n]}
+                    "op/target": op[..., -2:][:n]}
 
     else:
         c = ch[args.data_type]

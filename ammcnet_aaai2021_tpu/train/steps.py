@@ -36,6 +36,15 @@ from .state import AMMCTrainState
 MUTABLE = ("batch_stats", "codebook")
 
 
+def _to_model_range(x):
+    """Accept clips either pre-normalized ([-1,1] float, the parity path) or
+    as raw uint8 (the fast-transfer path: 3x fewer PCIe bytes; normalization
+    fuses into the step like the inference scorer)."""
+    if x.dtype == jnp.uint8:
+        return (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+    return x
+
+
 def _flow_pair(flownet, flow_vars, last_frame, frame):
     """FlowNet2-SD on a ([-1,1] range) frame pair, reference scaling
     (train_helper.py:309-316): to [0,255], net, /255, detach."""
@@ -74,7 +83,8 @@ def make_twostream_train_step(
 
     def train_step(state: AMMCTrainState, batch: Dict, flow_vars
                    ) -> Tuple[AMMCTrainState, Dict]:
-        rgb, op = batch["rgb"], batch["op"]  # (b, h, w, t*c) incl target
+        rgb = _to_model_range(batch["rgb"])  # (b, h, w, t*c) incl target
+        op = batch["op"].astype(jnp.float32)
         rgb_input, rgb_target = rgb[..., :-rgb_channels], rgb[..., -rgb_channels:]
         op_input, op_target = op[..., :-op_channels], op[..., -op_channels:]
 
@@ -140,7 +150,8 @@ def make_single_stream_train_step(
 
     def train_step(state: AMMCTrainState, batch: jax.Array, flow_vars
                    ) -> Tuple[AMMCTrainState, Dict]:
-        clip = batch  # (b, h, w, t*c)
+        clip = (_to_model_range(batch) if data_type == "rgb"
+                else batch.astype(jnp.float32))  # (b, h, w, t*c)
         x_input, x_target = clip[..., :-c], clip[..., -c:]
 
         def g_loss(g_params):
