@@ -87,7 +87,10 @@ class DataConfig:
     aligned_two_stream_sampling: bool = True
     num_workers: int = 8
     prefetch: int = 2
-    use_native_loader: bool = True  # C++ decode/resize pipeline when built
+    # C++ decode/resize pipeline (builds on demand); off by default because
+    # its JPEG decode differs from cv2 by <=1 LSB — enable via run_test
+    # --native_loader when throughput matters more than bit-parity
+    use_native_loader: bool = False
 
 
 @dataclass(frozen=True)

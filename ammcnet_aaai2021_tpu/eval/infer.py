@@ -67,7 +67,8 @@ def make_video_scorer(generator, variables,
                       clip_len_rgb: int = 5, clip_len_op: int = 4,
                       window_batch: int = 16,
                       rgb_channels: int = 3, op_channels: int = 2,
-                      mesh=None, metric: str = "psnr") -> Callable:
+                      mesh=None, metric: str = "psnr",
+                      reproduce_op_psnr_bug: bool = False) -> Callable:
     """Video-resident scorer: the whole sub-video lives on device (uint8
     frames + float flows, uploaded ONCE); each call gathers a batch of
     sliding windows on-device, normalizes, channel-stacks, and scores —
@@ -96,8 +97,11 @@ def make_video_scorer(generator, variables,
 
     def score_windows(video_rgb_u8: jax.Array, video_op: jax.Array,
                       idx: jax.Array):
-        rgb = (video_rgb_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-        rgb_clip = stack_windows(rgb, idx, clip_len_rgb)
+        # gather uint8 windows FIRST, then normalize only the (b,h,w,t*c)
+        # clip — normalizing the whole video would redo full-video work in
+        # every per-batch call
+        rgb_clip_u8 = stack_windows(video_rgb_u8, idx, clip_len_rgb)
+        rgb_clip = (rgb_clip_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         op_clip = stack_windows(video_op, idx, clip_len_op)
         rgb_input = rgb_clip[..., :-rgb_channels]
         rgb_target = rgb_clip[..., -rgb_channels:]
@@ -106,10 +110,14 @@ def make_video_scorer(generator, variables,
         rgb_pred, op_pred, diffs, _ = generator.apply(
             variables, rgb_input, op_input, False)
         rgb_diff, op_diff = diffs
+        if reproduce_op_psnr_bug:
+            op_score = op_psnr_reference_bug(op_pred, op_input)
+        else:
+            op_score = metric_fn(op_pred, op_target.astype(jnp.float32))
         return (
             metric_fn(rgb_pred, rgb_target),
             jnp.broadcast_to(rgb_diff, rgb_pred.shape[:1]).astype(jnp.float32),
-            metric_fn(op_pred, op_target.astype(jnp.float32)),
+            op_score,
             jnp.broadcast_to(op_diff, op_pred.shape[:1]).astype(jnp.float32),
         )
 
@@ -294,6 +302,40 @@ def score_video_arrays(scorer: Callable, video_rgb_u8: np.ndarray,
         *launch_video_scoring(scorer, v_rgb, v_op, n_windows, window_batch))
 
 
+def op_psnr_reference_bug(op_pred: jax.Array, op_input: jax.Array
+                          ) -> jax.Array:
+    """Reference-exact op-stream 'PSNR': the torch test loop compares the
+    (1,2,h,w) prediction against the (1,3,2,h,w) INPUT stack via accidental
+    broadcasting (test_helper.py:434-436 with utils.psnr_error:130-148):
+    num_pixels = 2*h*w, the squared diff sums over (field, uv, h) leaving a
+    per-column vector, log10, then mean.  Shape-coherent garbage, reproduced
+    bit-for-bit for golden-pickle parity of the op records.
+
+    Args: op_pred (b,h,w,2); op_input (b,h,w,6) channel-stacked 3 fields.
+    """
+    b, h, w, _ = op_pred.shape
+    fields = op_input.astype(jnp.float32).reshape(b, h, w, 3, 2)
+    pred = op_pred.astype(jnp.float32)
+    gt = (fields + 1.0) / 2.0
+    gen = (pred + 1.0) / 2.0
+    sq = jnp.square(gt - gen[:, :, :, None, :])  # (b,h,w,3,2)
+    # torch sums dims (field, uv, h) of (b,3,2,h,w) -> (b,w)
+    col = jnp.sum(sq, axis=(1, 3, 4))  # (b, w)
+    num_pixels = 2 * h * w
+    return jnp.mean(10.0 * jnp.log10(num_pixels / col), axis=1)
+
+
+def blockwise_mean(values: np.ndarray, block: int) -> np.ndarray:
+    """Replace each length-`block` chunk (last chunk partial) with its mean —
+    the reference's batch-replicated fea_comm (one DataLoader batch = one
+    value), with partial final batches averaged over REAL members only."""
+    out = np.empty_like(values)
+    for start in range(0, len(values), block):
+        chunk = values[start : start + block]
+        out[start : start + block] = chunk.mean()
+    return out
+
+
 def _assemble_records(scores: np.ndarray, num_frame: int,
                       clip_len: int) -> np.ndarray:
     """Sliding-window scores -> per-frame array with reference boundary
@@ -323,6 +365,9 @@ def score_dataset(
     logger=None,
     flow_extractor: Optional[Callable] = None,
     metric: str = "psnr",
+    batch_commit: bool = False,
+    reproduce_op_psnr_bug: bool = False,
+    use_native_loader: bool = False,
 ) -> Tuple[Dict, float]:
     """Per-video batched scoring over a test set.
 
@@ -341,23 +386,35 @@ def score_dataset(
     # program is pathological on this environment's remote-compile service)
     scorer = make_video_scorer(generator, variables, clip_len_rgb,
                                clip_len_op, window_batch=batch_size,
-                               metric=metric)
+                               metric=metric,
+                               reproduce_op_psnr_bug=reproduce_op_psnr_bug)
     rgb_index = VideoIndex(rgb_root)
     op_index = VideoIndex(op_root) if flow_extractor is None else None
     size = (image_size, image_size)
     pool = ThreadPoolExecutor(max_workers=8)
 
+    native = None
+    if use_native_loader:
+        from ..data import native as native_mod
+
+        native = native_mod if native_mod.available() else None
+
     def decode_video(name):
-        frames = list(pool.map(lambda p: _decode_rgb(p, size),
-                               rgb_index.videos[name]))
-        frames = np.stack(frames)
-        if flow_extractor is None:
+        if native is not None:
+            frames = native.decode_video(rgb_index.videos[name], size)
+        else:
+            frames = np.stack(list(pool.map(lambda p: _decode_rgb(p, size),
+                                            rgb_index.videos[name])))
+        if flow_extractor is not None:
+            # flows come from the on-device extractor; nothing to load/upload
+            flows = np.zeros((1, *size, 2), np.float32)
+        elif native is not None:
+            flows = native.load_flow_video(op_index.videos[name], size,
+                                           reproduce_flow_bug)
+        else:
             flows = np.stack(list(pool.map(
                 lambda p: load_flow(p, size, reproduce_flow_bug),
                 op_index.videos[name])))
-        else:
-            # flows come from the on-device extractor; nothing to load/upload
-            flows = np.zeros((1, *size, 2), np.float32)
         return pad_video_to_bucket(frames, flows)
 
     result: Dict = {
@@ -398,6 +455,12 @@ def score_dataset(
             if vi + 2 < len(names):
                 next_decoded = pool.submit(decode_video, names[vi + 2])
         rgb_psnr, rgb_fea, op_psnr, op_fea = gather_video_scores(*launched)
+        if batch_commit:
+            # reference-exact commit records: one batch-mean value per
+            # DataLoader batch (test_helper.py:446), partial final batch
+            # averaged over its real members only
+            rgb_fea = blockwise_mean(rgb_fea, batch_size)
+            op_fea = blockwise_mean(op_fea, batch_size)
         total_frames += len(rgb_psnr)
         result["rgb_img_pred_records"].append(
             _assemble_records(rgb_psnr, num_frame, clip_len_rgb))

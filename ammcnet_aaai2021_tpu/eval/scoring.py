@@ -8,9 +8,9 @@ Rebuild of the scoring tail of the reference pipeline
 2. global min-max normalization across the concatenated test set,
 3. fusion ``score = (1-l1) * psnr + l1 * (1 - fea_comm)``,
 4. one-step (non-recursive) temporal smoothing
-   ``s'[i] = (1-l2) * s[i-1] + l2 * s[i]`` — note the reference smooths
-   against the *already smoothed* previous value because it builds the list
-   in place; reproduced exactly here,
+   ``s'[i] = (1-l2) * s[i-1] + l2 * s[i]`` — the reference's list
+   comprehension reads the ORIGINAL (pre-smoothing) scores, i.e. a two-tap
+   FIR, not a recursive filter; reproduced exactly here,
 5. ROC with ``pos_label=0`` (low score == anomalous) and AUC.
 
 The AUC itself is computed sklearn-free in NumPy (trapezoidal ROC identical

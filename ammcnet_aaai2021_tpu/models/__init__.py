@@ -7,10 +7,16 @@ net_map).  Same tags, TPU-native modules:
 net_tag               module
 ====================  =========================================================
 unet                  plain UNet (blocks.UNet)
-unet_vq_topk          UNetMem_v4 equivalent (non-residual memory)
+unet_vq_topk          LOUD ERROR: reference dispatches to UNetMem_v3 which is
+                      non-runnable dead code (tuple-called outc, unet.py:349)
 unet_vq_topk_res      UNetMem_v7 (stage-1 single-stream net)
 unet_vq_twostream     TwoStreamUNetMem (the released AMMCNet generator)
-unet_vq_twostream_concat_dire / _add_dire   bridge ablations
+twostream_concat_dire reference-as-shipped: SAME arch as unet_vq_twostream
+                      (both ablation classes wire self.bridge = the AMFT
+                      bridge, unet.py:1043/1082; the concat/add bridge
+                      classes are defined but never used)
+twostream_add_dire    LOUD ERROR: forward references an undefined `diff`
+                      (unet.py:1125) — non-runnable in the reference
 vqvae                 classic two-level VQ-VAE
 vqvae_topk            VQVAE_topk
 vqvae_topk_res        VQVAE_topk_res
@@ -39,11 +45,13 @@ from .unet_mem import (
     ConcatBridge,
     TwoStreamUNetMem,
     UNetMemStream,
+    UNetMemV4,
 )
 from .vqvae import VQVAE, VQVAETopK, VQVAETopKRes, VQVAETopKTwoStream
 
 __all__ = [
-    "UNet", "UNetMemStream", "TwoStreamUNetMem", "AMFTBridge", "ConcatBridge",
+    "UNet", "UNetMemStream", "UNetMemV4", "TwoStreamUNetMem", "AMFTBridge",
+    "ConcatBridge",
     "AddBridge", "PixelDiscriminator", "FlowNetSD", "FlowNet2SD", "VQVAE",
     "VQVAETopK", "VQVAETopKRes", "VQVAETopKTwoStream", "build_generator",
     "build_model", "Model", "NET_TAGS",
@@ -73,26 +81,28 @@ def build_generator(cfg: NetConfig, axis_name: Optional[str] = None,
     tag = cfg.net_tag
     if tag == "unet":
         return UNet(out_channels=_single_out(cfg), dtype=dt)
-    if tag == "unet_vq_topk":
-        return UNetMemStream(out_channels=_single_out(cfg),
-                             residual_memory=False, **common)
     if tag == "unet_vq_topk_res":
         return UNetMemStream(out_channels=_single_out(cfg), **common)
-    if tag in ("unet_vq", "unet_vq_res"):
-        # these reference tags dispatch to UNetMem_v1/v2, which are broken
-        # dead code in the release (tuple-called outc layers etc.,
-        # SURVEY.md 2.3.6) — fail loudly rather than guess semantics
-        raise ValueError(
-            f"net_tag {tag!r} maps to non-runnable reference classes "
-            "(UNetMem_v1/v2); use unet_vq_topk / unet_vq_topk_res")
-    if tag in ("unet_vq_twostream", "twostream_concat_dire",
+    if tag in ("unet_vq", "unet_vq_res", "unet_vq_topk",
                "twostream_add_dire"):
-        bridge = {"unet_vq_twostream": "amft",
-                  "twostream_concat_dire": "concat_dire",
-                  "twostream_add_dire": "add_dire"}[tag]
+        # these reference tags dispatch to non-runnable dead code:
+        # UNetMem_v1/v2 (tuple-called outc, wrong-arity inconv), UNetMem_v3
+        # (tuple-called outc, unet.py:349), and twostream_add_dire (forward
+        # references an undefined `diff`, unet.py:1125) — fail loudly rather
+        # than guess semantics (SURVEY.md 2.3.6)
+        raise ValueError(
+            f"net_tag {tag!r} maps to a non-runnable reference class; "
+            "use unet_vq_topk_res / unet_vq_twostream (or UNetMemV4 / the "
+            "bridge_kind ablations programmatically)")
+    if tag in ("unet_vq_twostream", "twostream_concat_dire"):
+        # reference twostream_concat_dire wires the SAME additive AMFT
+        # bridge as twostream (unet.py:1043: self.bridge = bridge(in_c=512);
+        # its ConcatBridge class is never used) — reproduced as-shipped.
+        # The INTENDED concat/add ablations remain available via
+        # TwoStreamUNetMem(bridge_kind="concat_dire"/"add_dire").
         return TwoStreamUNetMem(rgb_out=cfg.out_channel[0],
                                 op_out=cfg.out_channel[1],
-                                bridge_kind=bridge, **common)
+                                bridge_kind="amft", **common)
     vq_common = dict(embed_dim=cfg.embed_dim, n_embed=cfg.n_embed, k=cfg.k,
                      dtype=dt, axis_name=axis_name)
     if tag == "vqvae":
@@ -107,9 +117,12 @@ def build_generator(cfg: NetConfig, axis_name: Optional[str] = None,
     raise ValueError(f"unknown net_tag {tag!r}")
 
 
+# runnable reference tags (the reference's net_map minus its four entries
+# that dispatch to non-runnable dead code: unet_vq, unet_vq_res,
+# unet_vq_topk, twostream_add_dire — those raise with pointers)
 NET_TAGS = (
-    "unet", "unet_vq_topk", "unet_vq_topk_res", "unet_vq_twostream",
-    "twostream_concat_dire", "twostream_add_dire",
+    "unet", "unet_vq_topk_res", "unet_vq_twostream",
+    "twostream_concat_dire",
     "vqvae", "vqvae_topk", "vqvae_topk_res", "vqvae_twostream",
 )
 

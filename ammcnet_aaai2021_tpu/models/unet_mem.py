@@ -3,9 +3,13 @@
 Rebuild of the released model family (``Code/models/unet.py``):
 
 * :class:`UNetMemStream` == ``UNetMem_v7`` (unet.py:908-938): 4-level UNet
-  with a residual top-k memory block at the 512-channel bottleneck.
-* :class:`UNetMemV4` == ``UNetMem_v4`` (unet.py:393-430): same trunk with a
-  *non*-residual memory block (stage-1-era variant kept for factory parity).
+  with a residual top-k memory block at the 512-channel bottleneck
+  (``residual_memory=False`` is OUR extension — a single non-residual block —
+  not a reference variant).
+* :class:`UNetMemV4` == ``UNetMem_v4`` (unet.py:393-430): TWO residual
+  memory blocks, at the 256-ch (down2) and 512-ch (down3) levels, summed
+  commit diff (stage-1-era variant; factory-unreachable in the reference,
+  whose get_unet_vq_topk_res has the v4 call commented out).
 * :class:`AMFTBridge` == ``bridge`` (unet.py:956-964): additive cross-stream
   feature transfer, ``x = zx + O2F(zy); y = zy + F2O(zx)``.
 * :class:`ConcatBridge` / :class:`AddBridge` == ``bridge_concat_dire`` /
@@ -91,6 +95,51 @@ class UNetMemStream(nn.Module):
         x4, diff, q_st = self.memory(x4, train)
         out = self.decode(x4, (x1, x2, x3), train)
         return out, diff, q_st
+
+
+class UNetMemV4(nn.Module):
+    """UNetMem_v4 (unet.py:393-430): residual memory at BOTH the 256-ch and
+    512-ch levels; returns (tanh out, diff_256 + diff_512, (code_256,
+    code_512))."""
+
+    out_channels: int = 3
+    embed_dim: int = 64
+    n_embed: int = 512
+    k: int = 1
+    dtype: Any = jnp.bfloat16
+    axis_name: Optional[str] = None
+    use_pallas: bool = False
+    per_sample_diff: bool = False
+
+    def setup(self):
+        self.inc = DoubleConv(64, self.dtype)
+        self.down1 = Down(128, self.dtype)
+        self.down2 = Down(256, self.dtype)
+        self.down3 = Down(512, self.dtype)
+        mem = lambda feats: EncQuanDecResTopK(
+            feats, self.embed_dim, self.n_embed, self.k, dtype=self.dtype,
+            axis_name=self.axis_name, use_pallas=self.use_pallas,
+            per_sample_diff=self.per_sample_diff)
+        self.vq_down2 = mem(256)
+        self.vq_down3 = mem(512)
+        self.up1 = Up(256, self.dtype)
+        self.up2 = Up(128, self.dtype)
+        self.up3 = Up(64, self.dtype)
+        self.outc = nn.Conv(self.out_channels, (3, 3), padding=1,
+                            dtype=self.dtype, kernel_init=conv_init)
+
+    def __call__(self, x: jax.Array, train: bool = False):
+        x1 = self.inc(x, train)
+        x2 = self.down1(x1, train)
+        x3 = self.down2(x2, train)
+        x3, diff_3, code_3 = self.vq_down2(x3, train)
+        x4 = self.down3(x3, train)
+        x4, diff_4, code_4 = self.vq_down3(x4, train)
+        y = self.up1(x4, x3, train)
+        y = self.up2(y, x2, train)
+        y = self.up3(y, x1, train)
+        y = self.outc(y)
+        return jnp.tanh(y.astype(jnp.float32)), diff_3 + diff_4, (code_3, code_4)
 
 
 class AMFTBridge(nn.Module):

@@ -43,26 +43,44 @@ def make_global_batch(local_batch, mesh):
         local_batch)
 
 
-def gather_records_to_rank0(local_records: Dict[str, list],
-                            video_names: Sequence[str]) -> Dict[str, list]:
-    """Reassemble per-video record lists in global video order on rank 0.
+def write_record_shard(shard_dir: str, local_records: Dict[str, list],
+                       local_names: Sequence[str]) -> str:
+    """Persist this host's per-video records + their video names.
 
-    In single-process runs this is the identity.  Multi-process gathers go
-    through jax.experimental.multihost_utils (host arrays, not devices).
+    Ragged per-video score arrays cannot ride device collectives
+    (process_allgather needs equal shapes), so multi-host evaluation merges
+    through the shared filesystem: every host writes a shard, rank 0 calls
+    :func:`merge_record_shards` after a barrier.
     """
-    if jax.process_count() == 1:
-        return local_records
-    from jax.experimental import multihost_utils
+    import os
+    import pickle
 
-    # each record list entry is (video_name, array); all-gather the pairs
-    gathered = multihost_utils.process_allgather(local_records, tiled=False)
-    # merge: gathered is a per-host structure; flatten preserving global order
-    merged: Dict[str, list] = {k: [] for k in local_records}
-    name_order = {n: i for i, n in enumerate(video_names)}
-    for key in merged:
-        pairs = []
-        for host_entries in gathered[key]:
-            pairs.extend(host_entries)
-        pairs.sort(key=lambda kv: name_order[kv[0]])
-        merged[key] = [arr for _name, arr in pairs]
-    return merged
+    os.makedirs(shard_dir, exist_ok=True)
+    path = os.path.join(shard_dir, f"records_{jax.process_index():05d}.pkl")
+    with open(path, "wb") as fh:
+        pickle.dump({"names": list(local_names), "records": local_records},
+                    fh, pickle.HIGHEST_PROTOCOL)
+    return path
+
+
+def merge_record_shards(shard_dir: str,
+                        video_names: Sequence[str]) -> Dict[str, list]:
+    """Rank-0 merge: reassemble all hosts' shards in global video order."""
+    import os
+    import pickle
+
+    by_name: Dict[str, Dict[str, object]] = {}
+    keys = None
+    for fname in sorted(os.listdir(shard_dir)):
+        if not fname.startswith("records_"):
+            continue
+        with open(os.path.join(shard_dir, fname), "rb") as fh:
+            shard = pickle.load(fh)
+        if keys is None:
+            keys = [k for k in shard["records"] if k != "dataset"]
+        for i, name in enumerate(shard["names"]):
+            by_name[name] = {k: shard["records"][k][i] for k in keys}
+    assert keys is not None, f"no record shards under {shard_dir!r}"
+    missing = [n for n in video_names if n not in by_name]
+    assert not missing, f"shards missing videos: {missing}"
+    return {k: [by_name[n][k] for n in video_names] for k in keys}

@@ -48,8 +48,15 @@ def parser_args(argv=None):
     p.add_argument("--image_size", type=int, default=None)
     p.add_argument("--batch_commit", action="store_true",
                    help="reference-exact commit scores: one batch-mean "
-                        "fea_comm value replicated over the batch "
+                        "fea_comm value replicated over each window batch "
                         "(test_helper.py:446) instead of per-frame")
+    p.add_argument("--reproduce_op_psnr_bug", action="store_true",
+                   help="reference-exact op-stream psnr records (the torch "
+                        "loop broadcasts the prediction against the 3-field "
+                        "input stack, test_helper.py:434-436)")
+    p.add_argument("--native_loader", action="store_true",
+                   help="decode frames/flows with the C++ loader (builds on "
+                        "first use; decode differs from cv2 by <=1 LSB)")
     p.add_argument("--fix_flow_bug", action="store_true",
                    help="use the corrected flow-channel loader (default "
                         "reproduces the reference bug for ckpt parity)")
@@ -90,8 +97,7 @@ def main(argv=None) -> dict:
             cfg, net=dataclasses.replace(cfg.net, image_size=args.image_size),
             data=dataclasses.replace(cfg.data, image_size=args.image_size))
 
-    model = build_model(cfg.net, mode="testing",
-                        per_sample_diff=not args.batch_commit)
+    model = build_model(cfg.net, mode="testing", per_sample_diff=True)
     gen = model.generator
 
     size = cfg.data.image_size
@@ -159,7 +165,10 @@ def main(argv=None) -> dict:
         clip_len_op=cfg.data.clip_length_op,
         batch_size=args.batch_size, image_size=size,
         reproduce_flow_bug=not args.fix_flow_bug, logger=logger,
-        flow_extractor=flow_extractor, metric=args.metric)
+        flow_extractor=flow_extractor, metric=args.metric,
+        batch_commit=args.batch_commit,
+        reproduce_op_psnr_bug=args.reproduce_op_psnr_bug,
+        use_native_loader=args.native_loader)
 
     pickle_dir = os.path.join(args.save_dir, args.eval_type, "save_pickle")
     os.makedirs(pickle_dir, exist_ok=True)

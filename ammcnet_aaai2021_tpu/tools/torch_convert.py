@@ -213,9 +213,13 @@ def convert_pth(path: str, net_tag: str = "unet_vq_twostream") -> Dict:
     state_dict = {k: v.numpy() for k, v in state_dict.items()}
     if net_tag == "unet_vq_twostream":
         return convert_twostream(state_dict)
-    if net_tag in ("unet_vq_topk_res", "unet_vq_topk"):
+    if net_tag == "unet_vq_topk_res":
         p, s, c = convert_unetmem_stream(state_dict)
         return {"params": p, "batch_stats": s, "codebook": c}
+    if net_tag == "unet_vq_topk":
+        raise ValueError(
+            "unet_vq_topk checkpoints come from the non-runnable reference "
+            "class UNetMem_v3 (SURVEY.md 2.3.6); no converter exists")
     raise ValueError(f"no converter for net_tag {net_tag!r}")
 
 

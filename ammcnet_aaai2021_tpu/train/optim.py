@@ -29,8 +29,17 @@ def make_optimizers(cfg: OptimConfig,
     g_tx = optax.adam(multistep_schedule(cfg.lr_g, cfg.lr_milestones,
                                          cfg.lr_gamma))
     if g_mask is not None:
-        # trainable subset only (reference fixed_rgb_op_branch finetune)
-        g_tx = optax.chain(optax.masked(g_tx, g_mask))
+        # trainable subset only (reference fixed_rgb_op_branch finetune).
+        # NOTE: optax.masked alone does NOT freeze the masked-out params —
+        # it passes their raw gradients through as updates (i.e. gradient
+        # ASCENT); the complementary set_to_zero is what freezes them.
+        import jax
+
+        inverse = jax.tree.map(lambda m: not m, g_mask)
+        g_tx = optax.chain(
+            optax.masked(g_tx, g_mask),
+            optax.masked(optax.set_to_zero(), inverse),
+        )
     d_tx = optax.adam(multistep_schedule(cfg.lr_d, cfg.lr_milestones,
                                          cfg.lr_gamma))
     return g_tx, d_tx

@@ -43,6 +43,17 @@ class TestParamCounts:
         vs, _ = init_model(m, (1, 32, 32, 12), (1, 32, 32, 6))
         assert n_params(vs) == 25_049_029
 
+    def test_unetmem_v4_7_855M(self):
+        # ground truth from instantiating the reference torch UNetMem_v4
+        # directly: 7,855,363 @ embed_dim=64, n_embed=512, k=2 (the
+        # 7.377731M docstring at unet.py:1206 belongs to the v3 harness)
+        from ammcnet_aaai2021_tpu.models import UNetMemV4
+
+        m = UNetMemV4(out_channels=3, embed_dim=64, n_embed=512, k=2,
+                      dtype=jnp.float32)
+        vs, _ = init_model(m, (1, 32, 32, 12))
+        assert n_params(vs) == 7_855_363
+
     def test_unetmem_v7_7_806M(self):
         # unet.py:1283-1290 records 7.805891M for the rgb stage-1 net
         m = UNetMemStream(out_channels=3, embed_dim=64, n_embed=512, k=2)
@@ -134,21 +145,37 @@ class TestFactory:
         assert model.discriminator is None and model.flow_network is None
 
     def test_broken_reference_tags_fail_loudly(self):
-        # unet_vq / unet_vq_res dispatch to UNetMem_v1/v2 in the reference,
-        # which are non-runnable dead code (SURVEY.md 2.3.6)
-        for tag in ("unet_vq", "unet_vq_res"):
+        # these reference tags dispatch to non-runnable dead code
+        # (SURVEY.md 2.3.6; verified against the source: UNetMem_v1/v2/v3
+        # tuple-call outc, twostream_add_dire references undefined `diff`)
+        for tag in ("unet_vq", "unet_vq_res", "unet_vq_topk",
+                    "twostream_add_dire"):
             with pytest.raises(ValueError, match="non-runnable"):
                 build_generator(NetConfig(net_tag=tag, dtype="float32"))
 
     def test_tags_match_reference_net_map(self):
-        # reference net_map keys (models/__init__.py:92-107) minus the two
-        # broken ones == our NET_TAGS
+        # reference net_map keys (models/__init__.py:92-107) minus the four
+        # that dispatch to non-runnable classes == our NET_TAGS
         reference_tags = {
             "vqvae", "vqvae_topk", "vqvae_topk_res", "vqvae_twostream",
-            "unet", "unet_vq_topk", "unet_vq_topk_res", "unet_vq_twostream",
-            "twostream_concat_dire", "twostream_add_dire",
+            "unet", "unet_vq_topk_res", "unet_vq_twostream",
+            "twostream_concat_dire",
         }
         assert set(NET_TAGS) == reference_tags
+
+    def test_concat_dire_is_amft_as_shipped(self):
+        # reference twostream_concat_dire wires the AMFT bridge
+        # (unet.py:1043), so its params must equal the twostream's
+        import jax
+
+        a = build_generator(NetConfig(net_tag="unet_vq_twostream",
+                                      dtype="float32"))
+        b = build_generator(NetConfig(net_tag="twostream_concat_dire",
+                                      dtype="float32"))
+        va, _ = init_model(a, (1, 32, 32, 12), (1, 32, 32, 6))
+        vb, _ = init_model(b, (1, 32, 32, 12), (1, 32, 32, 6))
+        assert (jax.tree.structure(va["params"])
+                == jax.tree.structure(vb["params"]))
 
 
 class TestTorchParity:

@@ -1,0 +1,73 @@
+"""Tests for the self-review fixes: branch freeze (in test_train_step),
+reference-exact op-psnr bug, blockwise batch-commit, record-shard merge."""
+
+import numpy as np
+import pytest
+
+from ammcnet_aaai2021_tpu.eval.infer import blockwise_mean, op_psnr_reference_bug
+
+
+class TestBlockwiseMean:
+    def test_partial_final_block_uses_real_members_only(self):
+        v = np.array([1.0, 3.0, 5.0, 7.0, 10.0], np.float32)
+        out = blockwise_mean(v, block=2)
+        np.testing.assert_allclose(out, [2, 2, 6, 6, 10])
+
+
+class TestOpPsnrReferenceBug:
+    def test_matches_torch_broadcast_oracle(self, rng):
+        torch = pytest.importorskip("torch")
+        import jax.numpy as jnp
+
+        b, h, w = 3, 16, 12
+        op_input = rng.uniform(-1, 1, (b, h, w, 6)).astype(np.float32)
+        op_pred = rng.uniform(-1, 1, (b, h, w, 2)).astype(np.float32)
+        got = np.asarray(op_psnr_reference_bug(jnp.asarray(op_pred),
+                                               jnp.asarray(op_input)))
+        # torch oracle reproducing test_helper.py:434-464 + psnr_error
+        fields = torch.from_numpy(op_input.reshape(b, h, w, 3, 2)
+                                  .transpose(0, 3, 4, 1, 2).copy())  # (b,3,2,h,w)
+        pred = torch.from_numpy(op_pred.transpose(0, 3, 1, 2).copy())  # (b,2,h,w)
+        ref = []
+        for i in range(b):
+            gen = pred[i].unsqueeze(0)          # (1,2,h,w)
+            gt = fields[i].unsqueeze(0)         # (1,3,2,h,w)
+            num_pixels = gen.shape[1] * gen.shape[2] * gen.shape[3]
+            gtn, genn = (gt + 1) / 2, (gen + 1) / 2
+            sq = (gtn - genn) ** 2              # broadcast (1,3,2,h,w)
+            errors = 10 * torch.log10(
+                1.0 / ((1.0 / num_pixels) * torch.sum(sq, dim=[1, 2, 3])))
+            ref.append(float(errors.mean()))
+        np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+class TestRecordShardMerge:
+    def test_roundtrip_and_order(self, tmp_path, rng, monkeypatch):
+        import jax
+
+        from ammcnet_aaai2021_tpu.parallel.multihost import (
+            merge_record_shards, write_record_shard)
+
+        names = ["01", "02", "03"]
+        keys = ["rgb_img_pred_records", "rgb_fea_comm_records"]
+        full = {k: [rng.random(5 + i) for i in range(3)] for k in keys}
+        # emulate 2 hosts: host0 gets videos 0,2; host1 gets 1 (round robin)
+        shard_dir = str(tmp_path)
+        write_record_shard(shard_dir,
+                           {k: [full[k][0], full[k][2]] for k in keys},
+                           ["01", "03"])
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        write_record_shard(shard_dir, {k: [full[k][1]] for k in keys}, ["02"])
+        merged = merge_record_shards(shard_dir, names)
+        for k in keys:
+            for a, b in zip(merged[k], full[k]):
+                np.testing.assert_array_equal(a, b)
+
+    def test_missing_video_raises(self, tmp_path, rng):
+        from ammcnet_aaai2021_tpu.parallel.multihost import (
+            merge_record_shards, write_record_shard)
+
+        write_record_shard(str(tmp_path),
+                           {"rgb_img_pred_records": [rng.random(4)]}, ["01"])
+        with pytest.raises(AssertionError, match="missing videos"):
+            merge_record_shards(str(tmp_path), ["01", "02"])

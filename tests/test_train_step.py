@@ -174,6 +174,25 @@ class TestSingleStreamStep:
         assert np.isfinite(float(metrics["g_loss"]))
 
 
+class TestBranchFreezing:
+    def test_masked_optimizer_freezes_not_ascends(self):
+        """optax.masked alone passes raw gradients through masked-out leaves
+        (gradient ASCENT); the optimizer factory must zero them."""
+        import optax
+
+        params = {"bridge": jnp.ones(3), "rgb": jnp.ones(3)}
+        mask = {"bridge": True, "rgb": False}
+        g_tx, _ = make_optimizers(OptimConfig(lr_g=1e-3), g_mask=mask)
+        state = g_tx.init(params)
+        grads = jax.tree.map(lambda x: jnp.full_like(x, 0.5), params)
+        updates, _ = g_tx.update(grads, state, params)
+        assert np.all(np.asarray(updates["rgb"]) == 0.0)
+        assert np.any(np.asarray(updates["bridge"]) != 0.0)
+        new_params = optax.apply_updates(params, updates)
+        np.testing.assert_array_equal(np.asarray(new_params["rgb"]),
+                                      np.asarray(params["rgb"]))
+
+
 class TestGrafting:
     def test_graft_branches_mounts_pretrained(self):
         cfg = small_net()
