@@ -58,7 +58,11 @@ class GroundTruthLoader:
     MAT_DATASETS = ("avenue", "ped1", "ped2", "enter", "exit")
 
     def __init__(self, data_dir: str = "", mapping_json: Optional[str] = None):
-        self.data_dir = data_dir
+        # data_dir falls back to $AMMCNET_GT_DIR so golden-AUC regressions
+        # for datasets without builtin annotations (avenue, shanghaitech)
+        # activate automatically wherever the public GT files are mounted
+        self.data_dir = data_dir or os.environ.get("AMMCNET_GT_DIR", "")
+        data_dir = self.data_dir
         self.mapping: Dict[str, str] = {}
         if mapping_json:
             with open(mapping_json) as fh:
@@ -86,7 +90,10 @@ class GroundTruthLoader:
                 return ped2_builtin_gt(video_lengths)
             raise FileNotFoundError(
                 f"ground-truth mat for {dataset!r} not found at {mat_file!r} "
-                "and no builtin annotation available"
+                "and no builtin annotation available; provide the standard "
+                f"public '{dataset}.mat' ('gt' cell of 1-indexed (start,end) "
+                "event pairs) under <data_dir>/<dataset>/ or set "
+                "$AMMCNET_GT_DIR"
             )
         import scipy.io as scio
 
@@ -120,31 +127,39 @@ class GroundTruthLoader:
         label_dir = os.path.join(
             self.data_dir, "shanghaitech", "testing", "test_frame_mask"
         )
+        if not os.path.isdir(label_dir):
+            raise FileNotFoundError(
+                f"shanghaitech frame masks not found at {label_dir!r}; "
+                "provide the dataset's public per-video 'test_frame_mask' "
+                ".npy files there or set $AMMCNET_GT_DIR"
+            )
         return [
             np.load(os.path.join(label_dir, f))
             for f in sorted(os.listdir(label_dir))
         ]
 
-    # -- pixel-level masks (reference eval_metric.py:182-210) ------------------------
+    # -- pixel-level masks ----------------------------------------------------------
     def get_pixel_masks_file_list(self, dataset: str):
-        """Sorted per-video pixel-mask .npy paths + the indices of the test
-        videos that have masks (not all do in ped1/avenue)."""
-        pixel_mask_folder = os.path.join(self.data_dir, dataset, "pixel_masks")
-        mask_files = sorted(os.listdir(pixel_mask_folder))
+        """Sorted per-video pixel-mask ``.npy`` paths plus the indices of the
+        test videos that have masks — only a subset does in ped1/avenue
+        (serves the same role as the reference's mask/video id matching,
+        ``Code/main/eval_metric.py:182-210``).
+
+        A mask file must be named ``<video_folder_name>.npy``; unmatched mask
+        files are an error (a typo would silently misalign pixel-level eval).
+        """
+        mask_dir = os.path.join(self.data_dir, dataset, "pixel_masks")
+        mask_files = sorted(os.listdir(mask_dir))
         video_folder = os.path.join(self.data_dir, dataset, "testing", "frames")
-        video_list = sorted(os.listdir(video_folder))
-        video_ids = []
-        ids = 0
-        for mask_name in mask_files:
-            while ids < len(video_list):
-                if video_list[ids] + ".npy" == mask_name:
-                    video_ids.append(ids)
-                    ids += 1
-                    break
-                ids += 1
-        assert len(video_ids) == len(mask_files)
-        return ([os.path.join(pixel_mask_folder, f) for f in mask_files],
-                video_ids)
+        video_pos = {name: i for i, name in
+                     enumerate(sorted(os.listdir(video_folder)))}
+        try:
+            video_ids = [video_pos[os.path.splitext(m)[0]] for m in mask_files]
+        except KeyError as e:
+            raise ValueError(
+                f"pixel mask {e.args[0]!r}.npy has no matching test video "
+                f"under {video_folder!r}") from None
+        return [os.path.join(mask_dir, f) for f in mask_files], video_ids
 
     # -- toy json ------------------------------------------------------------------
     def _load_toydata(self) -> List[np.ndarray]:

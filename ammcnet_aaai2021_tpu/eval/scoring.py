@@ -146,9 +146,16 @@ def img_pred_fea_comm_auc(
     return roc_auc(labels, scores, pos_label=0)
 
 
-def roc_curve(labels: np.ndarray, scores: np.ndarray,
-              pos_label: int = 0) -> Tuple[np.ndarray, np.ndarray]:
-    """(fpr, tpr) matching sklearn.roc_curve's threshold collapsing."""
+def roc_curve(labels: np.ndarray, scores: np.ndarray, pos_label: int = 0,
+              drop_intermediate: bool = False
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """(fpr, tpr) matching sklearn.roc_curve's threshold collapsing.
+
+    ``drop_intermediate=True`` additionally removes collinear points exactly
+    like sklearn's default — irrelevant to AUC, but the reference's EER
+    (eval_metric.py:331) picks its operating point from the *collapsed*
+    curve, so parity requires it there.
+    """
     labels = np.asarray(labels)
     scores = np.asarray(scores, dtype=np.float64)
     pos = (labels == pos_label).astype(np.float64)
@@ -159,6 +166,11 @@ def roc_curve(labels: np.ndarray, scores: np.ndarray,
     distinct = np.nonzero(np.diff(sorted_scores))[0]
     idx = np.r_[distinct, len(sorted_scores) - 1]
     tp, fp = tp[idx], fp[idx]
+    if drop_intermediate and len(tp) > 2:
+        keep = np.r_[True,
+                     np.logical_or(np.diff(fp, 2), np.diff(tp, 2)),
+                     True]
+        tp, fp = tp[keep], fp[keep]
     tpr = tp / tp[-1] if tp[-1] > 0 else np.zeros_like(tp)
     fpr = fp / fp[-1] if fp[-1] > 0 else np.zeros_like(fp)
     return np.r_[0.0, fpr], np.r_[0.0, tpr]
@@ -188,9 +200,98 @@ def precision_recall_auc(labels: np.ndarray, scores: np.ndarray,
 def compute_eer(labels: np.ndarray, scores: np.ndarray,
                 pos_label: int = 0) -> float:
     """Equal error rate: fpr at the point where fpr + tpr is closest to 1
-    (reference cal_eer, eval_metric.py:314-318)."""
-    fpr, tpr = roc_curve(labels, scores, pos_label)
+    (reference cal_eer, eval_metric.py:314-318, on sklearn's
+    drop_intermediate=True curve)."""
+    fpr, tpr = roc_curve(labels, scores, pos_label, drop_intermediate=True)
     return float(fpr[np.nanargmin(np.abs(fpr + tpr - 1.0))])
+
+
+def _result_files(save_file: str) -> list:
+    if os.path.isdir(save_file):
+        return [os.path.join(save_file, f) for f in sorted(os.listdir(save_file))]
+    return [save_file]
+
+
+def _load_gt_for(records: Dict, data_dir: str,
+                 gt: Optional[Sequence[np.ndarray]]) -> Sequence[np.ndarray]:
+    if gt is not None:
+        return gt
+    key = "psnr" if "psnr" in records else "rgb_img_pred_records"
+    lengths = [len(a) for a in records[key]]
+    return GroundTruthLoader(data_dir)(records["dataset"],
+                                       video_lengths=lengths)
+
+
+def get_scores_labels(
+    records: Dict,
+    gt: Sequence[np.ndarray],
+    decidable_idx: int = DECIDABLE_IDX,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Single-stream (scores, labels) pair, per-video min-max normalized
+    (reference ``eval_metric.get_scores_labels``, eval_metric.py:268-288).
+
+    Accepts either pickle schema: the legacy ``{'psnr': [...]}`` files the
+    reference's eer/pr-auc paths consume, or this framework's four-record
+    dicts (the rgb prediction stream is the headline signal in both).
+    """
+    stream = records["psnr"] if "psnr" in records \
+        else records["rgb_img_pred_records"]
+    scores = normalize_records(stream, decidable_idx)
+    labels = np.concatenate(
+        [np.asarray(g)[decidable_idx:] for g in gt], axis=0)
+    return scores, labels
+
+
+def _evaluate_img_pred_fea_comm(save_file, lam, data_dir, gt):
+    best = RecordResult()
+    for path in _result_files(save_file):
+        records = load_result_pickle(path)
+        dataset = records["dataset"]
+        lam_ds = lam or FUSION_LAMBDAS[dataset]
+        auc = img_pred_fea_comm_auc(records, _load_gt_for(records, data_dir, gt),
+                                    lam_ds)
+        result = RecordResult(auc, dataset, path, lam_ds[0], lam_ds[1])
+        if best < result:
+            best = result
+    return {"optimal_loss": str(best.loss_file), "auc": round(best.auc, 3)}
+
+
+def _evaluate_precision_recall_auc(save_file, lam, data_dir, gt):
+    """Best PR-AUC over result files (eval_metric.py:291-312); ``lam`` unused
+    (single-stream metric) but accepted for dispatch uniformity."""
+    best = RecordResult()
+    for path in _result_files(save_file):
+        records = load_result_pickle(path)
+        scores, labels = get_scores_labels(
+            records, _load_gt_for(records, data_dir, gt))
+        auc = precision_recall_auc(labels, scores, pos_label=0)
+        result = RecordResult(auc, records["dataset"], path)
+        if best < result:
+            best = result
+    return {"optimal_loss": str(best.loss_file), "auc": round(best.auc, 3)}
+
+
+def _evaluate_eer(save_file, lam, data_dir, gt):
+    """LOWEST equal-error-rate over result files (eval_metric.py:321-341,
+    note the reference seeds with auc=inf and keeps the minimum)."""
+    best = RecordResult(auc=np.inf)
+    for path in _result_files(save_file):
+        records = load_result_pickle(path)
+        scores, labels = get_scores_labels(
+            records, _load_gt_for(records, data_dir, gt))
+        eer = compute_eer(labels, scores, pos_label=0)
+        result = RecordResult(eer, records["dataset"], path)
+        if result < best:
+            best = result
+    return {"optimal_loss": str(best.loss_file), "eer": round(best.auc, 3)}
+
+
+# reference dispatch map (eval_metric.py:442-446)
+EVAL_TYPE_FUNCTIONS = {
+    "img_pred_fea_comm_rgb_auc": _evaluate_img_pred_fea_comm,
+    "precision_recall_auc": _evaluate_precision_recall_auc,
+    "compute_eer": _evaluate_eer,
+}
 
 
 def evaluate(
@@ -198,29 +299,16 @@ def evaluate(
     lam: Optional[Tuple[float, float]] = None,
     data_dir: str = "",
     gt: Optional[Sequence[np.ndarray]] = None,
+    eval_type: str = "img_pred_fea_comm_rgb_auc",
 ) -> Dict[str, object]:
-    """Directory/file evaluation driver mirroring ``eval_metric.evaluate``.
+    """Directory/file evaluation driver mirroring ``eval_metric.evaluate``
+    (eval_metric.py:449-454) including its eval-type dispatch.
 
-    Accepts a result pickle or a directory of them, picks the best AUC, and
-    returns ``{"optimal_loss": path, "auc": rounded}`` like the reference
-    (eval_metric.py:435-438,449-454).
+    Accepts a result pickle or a directory of them, picks the best result,
+    and returns ``{"optimal_loss": path, "auc"|"eer": rounded}``.
     """
-    if os.path.isdir(save_file):
-        files = [os.path.join(save_file, f) for f in sorted(os.listdir(save_file))]
-    else:
-        files = [save_file]
-    best = RecordResult()
-    for path in files:
-        records = load_result_pickle(path)
-        dataset = records["dataset"]
-        lam_ds = lam or FUSION_LAMBDAS[dataset]
-        if gt is None:
-            lengths = [len(a) for a in records["rgb_img_pred_records"]]
-            gt_ds = GroundTruthLoader(data_dir)(dataset, video_lengths=lengths)
-        else:
-            gt_ds = gt
-        auc = img_pred_fea_comm_auc(records, gt_ds, lam_ds)
-        result = RecordResult(auc, dataset, path, lam_ds[0], lam_ds[1])
-        if best < result:
-            best = result
-    return {"optimal_loss": str(best.loss_file), "auc": round(best.auc, 3)}
+    if eval_type not in EVAL_TYPE_FUNCTIONS:
+        raise ValueError(
+            f"there is no type of evaluation {eval_type!r}, please check "
+            f"{sorted(EVAL_TYPE_FUNCTIONS)}")
+    return EVAL_TYPE_FUNCTIONS[eval_type](save_file, lam, data_dir, gt)

@@ -38,7 +38,11 @@ def parser_args(argv=None):
     p.add_argument("--registry", default="runs/registry.json")
     p.add_argument("--save_dir", default="eval_out")
     p.add_argument("--batch_size", type=int, default=16)
-    p.add_argument("--eval_type", default="img_pred_fea_comm_rgb_auc")
+    p.add_argument("--eval_type", default="img_pred_fea_comm_rgb_auc",
+                   choices=["img_pred_fea_comm_rgb_auc",
+                            "precision_recall_auc", "compute_eer"],
+                   help="evaluation dispatch (reference "
+                        "eval_metric.py:442-454)")
     p.add_argument("--metric", default="psnr",
                    choices=["psnr", "mse", "ssim"],
                    help="per-frame prediction-quality metric "
@@ -76,7 +80,7 @@ def main(argv=None) -> dict:
     from ..configs import FUSION_LAMBDAS, preset
     from ..eval.gt import GroundTruthLoader
     from ..eval.infer import score_dataset
-    from ..eval.scoring import img_pred_fea_comm_auc
+    from ..eval.scoring import evaluate
     from ..models import build_model
     from ..train.checkpoint import load_msgpack, restore_checkpoint
     from ..utils.logging_utils import get_logger
@@ -185,13 +189,16 @@ def main(argv=None) -> dict:
     lengths = [len(a) for a in result["rgb_img_pred_records"]]
     gt = GroundTruthLoader(args.data_dir)(args.dataset_name,
                                           video_lengths=lengths)
-    auc = img_pred_fea_comm_auc(result, gt, lam)
+    summary = evaluate(pickle_path, lam=lam, gt=gt,
+                       eval_type=args.eval_type)
+    metric_name = "eer" if "eer" in summary else "auc"
+    value = summary[metric_name]
     print("=" * 80)
     print("the optimal loss_file is: ", pickle_path)
-    print("the optimal auc = ", round(auc, 3))
+    print(f"the optimal {metric_name} = ", value)
     print(f"inference fps = {fps:.3f}")
     print("=" * 80)
-    return {"auc": auc, "fps": fps, "pickle": pickle_path}
+    return {metric_name: value, "fps": fps, "pickle": pickle_path}
 
 
 if __name__ == "__main__":

@@ -12,6 +12,12 @@ from disk) + per-video flow fields.  Reference baseline: 17.597 fps on the
 authors' GPU (img/ped2.png via BASELINE.md), wall-clock including data
 loading and their per-frame host PSNR loop.
 
+Dispatch discipline (this environment talks to the chip over a tunnel where
+every RPC can cost ~0.1-1 s): the 12 videos are scored in CHUNK-sized groups,
+each group ONE jit dispatch (`make_multi_video_scorer` lax.maps the
+video x window-batch grid inside the program); the whole pass does exactly
+one device->host sync at the end.  A ped2 pass is 2 dispatches + 1 fetch.
+
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -27,14 +33,17 @@ BASELINE_FPS = 17.597  # reference ped2 inference fps (BASELINE.md)
 NUM_VIDEOS = 12
 FRAMES_PER_VIDEO = 180
 SIZE = 256
-# overridable: larger batches cut dispatch count and roughly double MXU
-# throughput (64 measured 590 windows/s device-resident vs 249 at 32); keep
-# to shapes already in the persistent compile cache — this environment's
-# remote compile service is high-variance
+# overridable: larger batches cut per-window overhead (64 measured 590
+# windows/s device-resident vs 249 at 32); keep to shapes already in the
+# persistent compile cache — this environment's remote compile service is
+# high-variance
 WINDOW_BATCH = int(os.environ.get("BENCH_WINDOW_BATCH", "64"))
-# best-of-N passes: the device tunnel has transient contention that can
-# halve throughput; the best pass reflects the chip
-N_PASSES = int(os.environ.get("BENCH_PASSES", "2"))
+# videos per jit dispatch: 6 -> a 12-video pass is 2 dispatches, and the
+# second chunk's decode/upload overlaps the first chunk's compute
+CHUNK = int(os.environ.get("BENCH_CHUNK", "6"))
+# best-of-N passes (default 1: the pipeline must clear the target on a
+# median pass, not a lucky one)
+N_PASSES = int(os.environ.get("BENCH_PASSES", "1"))
 
 
 def synth_ped2_shaped(rng: np.random.Generator):
@@ -67,7 +76,7 @@ def main() -> None:
 
     from ammcnet_aaai2021_tpu.configs import NetConfig
     from ammcnet_aaai2021_tpu.eval.infer import (
-        _assemble_records, make_full_video_scorer, pad_video_to_bucket,
+        _assemble_records, make_multi_video_scorer, pad_video_to_bucket,
         upload_video)
     from ammcnet_aaai2021_tpu.models import build_generator
 
@@ -79,9 +88,8 @@ def main() -> None:
     variables = gen.init({"params": jax.random.PRNGKey(0)},
                          jnp.zeros((1, SIZE, SIZE, 12)),
                          jnp.zeros((1, SIZE, SIZE, 6)))
-    # whole-video scorer: ONE jit dispatch + ONE result fetch per video
-    # (565 fps device-resident at wb=64 on the 192-frame bucket)
-    scorer = make_full_video_scorer(gen, variables, window_batch=WINDOW_BATCH)
+    scorer = make_multi_video_scorer(gen, variables,
+                                     window_batch=WINDOW_BATCH)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -97,34 +105,30 @@ def main() -> None:
         rgb, op, _ = pad_video_to_bucket(np.stack(frames), flows)
         return rgb, op
 
-    # warm-up: compile the whole-video scorer once
-    host = decode_video(videos[0])
-    _ = np.asarray(scorer(*upload_video(*host)))
+    # warm-up: compile the chunk scorer once (persistent cache makes repeat
+    # runs pay ~0 here)
+    warm = [upload_video(*decode_video(videos[i])) for i in range(CHUNK)]
+    _ = np.asarray(scorer(tuple(r for r, _ in warm), tuple(o for _, o in warm)))
+    del warm
     n_windows = FRAMES_PER_VIDEO - 5 + 1
-
-    import jax
-    import jax.numpy as jnp
 
     fps = 0.0
     for _pass in range(N_PASSES):
         t0 = time.perf_counter()
         total_frames = 0
-        # pipeline: decode(i+1) on host threads || upload(i+1) || compute(i).
-        # Dispatch and upload are async; the ONLY device->host sync is one
-        # stacked fetch of the whole pass's scores (a sync round-trip on this
-        # environment's tunnel can cost seconds under contention; all 12
-        # videos' arrays fit in ~1 GB of HBM).
-        next_decoded = pool.submit(decode_video, videos[0])
-        v_rgb, v_op = upload_video(*next_decoded.result())
-        next_decoded = pool.submit(decode_video, videos[1])
+        # pipeline: decode on host threads || per-video async uploads ||
+        # one dispatch per CHUNK videos (chunk 2's host work overlaps chunk
+        # 1's compute).  The ONLY device->host sync is one stacked fetch of
+        # the whole pass's scores (a sync round-trip on this environment's
+        # tunnel can cost seconds under contention; everything fits in HBM).
+        decoded = [pool.submit(decode_video, v) for v in videos]
         launched = []
-        for vi in range(NUM_VIDEOS):
-            launched.append(scorer(v_rgb, v_op))
-            if vi + 1 < NUM_VIDEOS:
-                v_rgb, v_op = upload_video(*next_decoded.result())
-                if vi + 2 < NUM_VIDEOS:
-                    next_decoded = pool.submit(decode_video, videos[vi + 2])
-        all_scores = np.asarray(jnp.stack(launched))[:, :, :n_windows]
+        for start in range(0, NUM_VIDEOS, CHUNK):
+            chunk = [upload_video(*decoded[i].result())
+                     for i in range(start, start + CHUNK)]
+            launched.append(scorer(tuple(r for r, _ in chunk),
+                                   tuple(o for _, o in chunk)))
+        all_scores = np.asarray(jnp.concatenate(launched))[:, :, :n_windows]
         for scores in all_scores:
             rgb_psnr, rgb_fea, op_psnr, op_fea = scores
             _assemble_records(rgb_psnr, FRAMES_PER_VIDEO, 5)
@@ -145,7 +149,14 @@ def main() -> None:
 if __name__ == "__main__":
     try:
         main()
-    except Exception:  # transient tunnel/RPC failures: one clean retry
+    except Exception as e:  # retry ONLY transient tunnel/RPC failures —
+        # a real regression (shape error, broken scorer) must surface
+        import jax
+
+        transient = isinstance(e, (jax.errors.JaxRuntimeError, OSError,
+                                   ConnectionError))
+        if not transient:
+            raise
         import traceback
 
         traceback.print_exc()

@@ -1,0 +1,43 @@
+"""Chunked multi-video scorer (one dispatch per chunk) must reproduce the
+per-batch scorer's results exactly, video by video."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ammcnet_aaai2021_tpu.configs import NetConfig
+from ammcnet_aaai2021_tpu.eval.infer import (
+    gather_video_scores, launch_video_scoring, make_multi_video_scorer,
+    make_video_scorer, pad_video_to_bucket)
+from ammcnet_aaai2021_tpu.models import build_generator
+
+
+def test_multi_video_scorer_matches_per_batch(rng):
+    cfg = NetConfig(dtype="float32", use_pallas_memory=False, n_embed=64)
+    gen = build_generator(cfg, per_sample_diff=True)
+    size = 32
+    variables = gen.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((1, size, size, 12)),
+                         jnp.zeros((1, size, size, 6)))
+    n_videos, t = 3, 14  # pads to bucket 16 -> 12 windows -> 2 batches of 8
+    bucket, wb = 16, 8
+    videos = []
+    for _ in range(n_videos):
+        rgb = rng.integers(0, 255, (t, size, size, 3), np.uint8)
+        op = rng.normal(0, 0.02, (t - 1, size, size, 2)).astype(np.float32)
+        videos.append(pad_video_to_bucket(rgb, op, bucket=bucket))
+
+    multi = make_multi_video_scorer(gen, variables, window_batch=wb)
+    out = np.asarray(multi(tuple(v[0] for v in videos),
+                           tuple(v[1] for v in videos)))
+    n_windows = t - 5 + 1
+    assert out.shape == (n_videos, 4, 2 * wb)
+
+    per_batch = make_video_scorer(gen, variables, window_batch=wb)
+    for vi, (rgb_p, op_p, _true_t) in enumerate(videos):
+        ref = gather_video_scores(*launch_video_scoring(
+            per_batch, jnp.asarray(rgb_p), jnp.asarray(op_p),
+            n_windows, wb))
+        for ci in range(4):
+            np.testing.assert_allclose(out[vi, ci, :n_windows], ref[ci],
+                                       rtol=1e-5, atol=1e-5)
