@@ -184,7 +184,47 @@ _SUBCONFIGS = {
 }
 
 
+# Per-dataset training loss weights.  The reference wires these from a
+# per-dataset tune-ini (constant_train.py:277-357) that was never released;
+# values here follow the anopred lineage the reference builds on (identical
+# across datasets in every public release of that lineage) and the VQ-VAE
+# commitment weight.  Structured per-dataset so users can diverge them the
+# way the ini did.
+TRAIN_LAMBDAS: Dict[str, Dict[str, Any]] = {
+    "ped2": {},
+    "avenue": {},
+    "shanghaitech": {},
+    "toydata": {},
+}
+
+# Loss tags whose ini reader takes lam_gdl from the *lam_adv* key — a
+# reference defect (constant_train.py:316,336: `const.lam_gdl =
+# config_tune.getfloat(const.dataset_name, 'lam_adv')`), which means every
+# released vq-tag checkpoint trained with lam_gdl == lam_adv.
+GDL_READS_ADV_KEY_TAGS = ("rgb_int_gdl_flow_adv_vq", "twostream_vq")
+
+
+def train_loss_preset(dataset_name: str, loss_tag: str = "twostream_vq",
+                      reproduce_gdl_key_bug: bool = True) -> LossConfig:
+    """Per-dataset :class:`LossConfig` mirroring the reference's ini-driven
+    per-dataset, per-loss-tag wiring (constant_train.py:277-357).
+
+    ``reproduce_gdl_key_bug`` keeps the as-shipped coupling lam_gdl=lam_adv
+    for the vq loss tags; pass False for the presumably-intended
+    independent GDL weight.
+    """
+    base: Dict[str, Any] = dict(l_num=2, alpha_num=1, lam_adv=0.05,
+                                lam_lp=1.0, lam_gdl=1.0, lam_flow=2.0,
+                                lam_latent=0.25, lam_lp_op=1.0)
+    base.update(TRAIN_LAMBDAS.get(dataset_name, {}))
+    if reproduce_gdl_key_bug and loss_tag in GDL_READS_ADV_KEY_TAGS:
+        base["lam_gdl"] = base["lam_adv"]
+    return LossConfig(loss_tag=loss_tag, **base)
+
+
 def preset(dataset_name: str, mode: str = "testing", data_dir: str = "",
+           loss_tag: str = "twostream_vq",
+           reproduce_gdl_key_bug: bool = True,
            **overrides: Any) -> ExperimentConfig:
     """Per-dataset presets mirroring the released net-params pickles."""
     if dataset_name not in FUSION_LAMBDAS and dataset_name != "toydata":
@@ -195,8 +235,11 @@ def preset(dataset_name: str, mode: str = "testing", data_dir: str = "",
         op_root=f"{data_dir}/{dataset_name}/testing/flows" if data_dir else "",
         gt_root=data_dir,
     )
-    cfg = ExperimentConfig(net=NetConfig(), data=data, mode=mode,
-                           exp_tag=f"unet_vq_twostream-{dataset_name}-rgb_op")
+    cfg = ExperimentConfig(
+        net=NetConfig(), data=data, mode=mode,
+        loss=train_loss_preset(dataset_name, loss_tag,
+                               reproduce_gdl_key_bug),
+        exp_tag=f"unet_vq_twostream-{dataset_name}-rgb_op")
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     return cfg

@@ -64,6 +64,17 @@ def parser_args(argv=None):
                         "restores the FULL training state incl. optimizer "
                         "moments and EMA codebook (the reference's resume "
                         "reloaded weights only)")
+    # loss weights: default None -> the per-dataset preset
+    # (configs.train_loss_preset, mirroring the reference's tune-ini wiring)
+    for lam in ("lam_adv", "lam_lp", "lam_gdl", "lam_flow", "lam_latent",
+                "lam_lp_op"):
+        p.add_argument(f"--{lam}", type=float, default=None)
+    p.add_argument("--l_num", type=int, default=None)
+    p.add_argument("--alpha_num", type=int, default=None)
+    p.add_argument("--fix_gdl_key_bug", action="store_true",
+                   help="decouple lam_gdl from lam_adv for vq loss tags "
+                        "(the reference ini reader takes lam_gdl from the "
+                        "lam_adv key, constant_train.py:316,336)")
     p.add_argument("--aligned_sampling", action="store_true", default=True)
     p.add_argument("--unaligned_sampling", dest="aligned_sampling",
                    action="store_false",
@@ -98,7 +109,7 @@ def main(argv=None):
     import numpy as np
 
     from ..configs import (
-        DataConfig, ExperimentConfig, LossConfig, NetConfig, OptimConfig)
+        DataConfig, ExperimentConfig, NetConfig, OptimConfig)
     from ..data.datasets import (
         ClipLoader, SingleStreamTrainSampler, TwoStreamTrainSampler,
         VideoIndex)
@@ -131,7 +142,19 @@ def main(argv=None):
         dataset_name=args.dataset_name, data_type=args.data_type,
         rgb_root=rgb_root, op_root=op_root,
         image_size=size, aligned_two_stream_sampling=args.aligned_sampling)
-    loss_cfg = LossConfig(loss_tag=args.loss_tag)
+    from ..configs import train_loss_preset
+
+    loss_cfg = train_loss_preset(
+        args.dataset_name, args.loss_tag,
+        reproduce_gdl_key_bug=not args.fix_gdl_key_bug)
+    lam_overrides = {
+        name: getattr(args, name)
+        for name in ("lam_adv", "lam_lp", "lam_gdl", "lam_flow",
+                     "lam_latent", "lam_lp_op", "l_num", "alpha_num")
+        if getattr(args, name) is not None
+    }
+    if lam_overrides:
+        loss_cfg = dataclasses.replace(loss_cfg, **lam_overrides)
     optim = OptimConfig(lr_g=args.lr_g, lr_d=args.lr_d,
                         iterations=args.iterations,
                         batch_size=args.batch_size,

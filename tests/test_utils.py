@@ -111,3 +111,23 @@ class TestConfig:
     def test_unknown_dataset_rejected(self):
         with pytest.raises(ValueError, match="unknown dataset"):
             preset("ped3")
+
+    def test_train_loss_preset_gdl_key_bug(self):
+        """Reference parity: for vq loss tags the ini reader takes lam_gdl
+        from the lam_adv key (constant_train.py:316,336)."""
+        from ammcnet_aaai2021_tpu.configs import train_loss_preset
+
+        shipped = train_loss_preset("ped2", "twostream_vq")
+        assert shipped.lam_gdl == shipped.lam_adv == 0.05
+        fixed = train_loss_preset("ped2", "twostream_vq",
+                                  reproduce_gdl_key_bug=False)
+        assert fixed.lam_gdl == 1.0
+        # non-vq tags read the real gdl key either way
+        stage1 = train_loss_preset("avenue", "rgb_int_gdl_flow_adv")
+        assert stage1.lam_gdl == 1.0
+
+    def test_preset_wires_per_dataset_loss(self):
+        cfg = preset("avenue", mode="training")
+        assert cfg.loss.loss_tag == "twostream_vq"
+        assert cfg.loss.lam_latent == 0.25
+        assert cfg.loss.lam_gdl == cfg.loss.lam_adv
