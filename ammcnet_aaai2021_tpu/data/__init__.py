@@ -21,7 +21,8 @@ def get_dataset(data_type: str, mode: str, which_ds: str = "normal",
                 *, rgb_root: str = "", op_root: str = "",
                 clip_len_rgb: int = 5, clip_len_op: int = 4,
                 image_size: int = 256, aligned: bool = True,
-                reproduce_flow_bug: bool = True, seed: int = 2017):
+                reproduce_flow_bug: bool = True, seed: int = 2017,
+                cache_bytes: int = 2 << 30):
     """(data_type, mode, backend) -> dataset/sampler object.
 
     backends: "normal" (file tree), "lmdb", "framepack".
@@ -44,13 +45,18 @@ def get_dataset(data_type: str, mode: str, which_ds: str = "normal",
                 VideoIndex(rgb_root), VideoIndex(op_root),
                 clip_len_rgb=clip_len_rgb, clip_len_op=clip_len_op,
                 aligned=aligned, seed=seed, image_size=image_size,
-                reproduce_flow_bug=reproduce_flow_bug)
+                reproduce_flow_bug=reproduce_flow_bug,
+                cache_bytes=cache_bytes)
         if data_type in ("rgb", "op"):
+            from .datasets import FrameCache
+
             root = rgb_root if data_type == "rgb" else op_root
             clip_len = clip_len_rgb if data_type == "rgb" else clip_len_op
+            cache = FrameCache(cache_bytes) if cache_bytes else None
             return SingleStreamTrainSampler(
                 VideoIndex(root), clip_len,
-                ClipLoader(data_type, image_size, reproduce_flow_bug),
+                ClipLoader(data_type, image_size, reproduce_flow_bug,
+                           cache=cache),
                 seed=seed)
         raise ValueError(f"unknown data_type {data_type!r}")
 

@@ -112,24 +112,146 @@ class VideoIndex:
         return len(self.videos[name])
 
 
+class FrameCache:
+    """Thread-safe byte-capped LRU of decoded (resized) frames.
+
+    Training revisits every frame ``clip_len x epochs`` times; on the
+    file-tree backend each visit re-decodes the JPEG / re-parses the .flo,
+    which leaves the chip ~20x idle (PERF.md).  Caching frames *after*
+    decode+resize (uint8 rgb / float32 flow) turns steady-state clip
+    assembly into memcpy + normalize.  Whole decoded training sets are
+    small (ped2 ~0.5 GB, avenue ~3 GB at 256^2 uint8); the byte cap evicts
+    LRU beyond it.  Entries are frozen (writeable=False) so a cache hit can
+    be shared across loader threads safely.
+    """
+
+    def __init__(self, capacity_bytes: int = 2 << 30):
+        import threading
+        from collections import OrderedDict
+
+        self._d: "OrderedDict[object, np.ndarray]" = OrderedDict()
+        self._lock = threading.Lock()
+        self._bytes = 0
+        self.capacity = int(capacity_bytes)
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key, load):
+        with self._lock:
+            arr = self._d.get(key)
+            if arr is not None:
+                self._d.move_to_end(key)
+                self.hits += 1
+                return arr
+        arr = load()  # decode outside the lock (a rare concurrent miss
+        arr.flags.writeable = False  # just duplicates one decode)
+        with self._lock:
+            self.misses += 1
+            if key not in self._d:
+                self._d[key] = arr
+                self._bytes += arr.nbytes
+                while self._bytes > self.capacity and self._d:
+                    _, old = self._d.popitem(last=False)
+                    self._bytes -= old.nbytes
+        return arr
+
+
 class ClipLoader:
-    """Assembles channel-stacked NHWC clips from frame paths."""
+    """Assembles channel-stacked NHWC clips from frame paths.
+
+    ``cache``: optional :class:`FrameCache` shared across loaders/threads;
+    decoded frames are cached post-resize, pre-normalize.
+
+    ``normalize_rgb=False`` returns rgb clips as raw uint8 — the
+    fast-transfer path: 4x fewer interleave/PCIe bytes, with the identical
+    (x/255 - .5)/.5 normalization fused into the jitted train step
+    (train.steps._to_model_range) exactly like the framepack backend.
+
+    ``packed=True`` emits clips as (t, h, w, c) frame stacks instead of the
+    torch-style (h, w, t*c) channel interleave: host assembly becomes
+    contiguous per-frame memcpys (the strided interleave costs ~2.5 ms/clip
+    on the host) and the interleave runs inside the jitted step as an XLA
+    transpose — effectively free on TPU.
+    """
 
     def __init__(self, data_type: str, image_size: int = 256,
-                 reproduce_flow_bug: bool = True):
+                 reproduce_flow_bug: bool = True,
+                 cache: Optional[FrameCache] = None,
+                 normalize_rgb: bool = True,
+                 packed: bool = False):
         assert data_type in ("rgb", "op")
         self.data_type = data_type
         self.size = (image_size, image_size)
         self.reproduce_flow_bug = reproduce_flow_bug
+        self.cache = cache
+        self.normalize_rgb = normalize_rgb
+        self.packed = packed
+
+    @property
+    def channels(self) -> int:
+        return 3 if self.data_type == "rgb" else 2
+
+    def clip_dtype(self):
+        if self.data_type == "rgb" and not self.normalize_rgb:
+            return np.uint8
+        return np.float32
+
+    def _frame(self, path: str) -> np.ndarray:
+        if self.data_type == "rgb":
+            if self.cache is None:
+                return _decode_rgb(path, self.size)
+            return self.cache.get((path, self.size),
+                                  lambda: _decode_rgb(path, self.size))
+        if self.cache is None:
+            return load_flow(path, self.size, self.reproduce_flow_bug)
+        return self.cache.get(
+            (path, self.size, self.reproduce_flow_bug),
+            lambda: load_flow(path, self.size, self.reproduce_flow_bug))
+
+    def clip_shape(self, t: int) -> Tuple[int, ...]:
+        h, w = self.size
+        if self.packed:
+            return (t, h, w, self.channels)
+        return (h, w, t * self.channels)
+
+    def load_clip_into(self, paths: Sequence[str], out: np.ndarray) -> None:
+        """Assemble the clip directly into ``out`` (:meth:`clip_shape`).
+
+        The channel interleave (non-packed layout) runs in the frames'
+        storage dtype (uint8 for rgb) and the float conversion happens once
+        on the interleaved result — the float32-per-frame concatenate this
+        replaces dominated cached batch assembly 2:1.
+        """
+        if self.packed:
+            if self.data_type == "rgb" and self.normalize_rgb:
+                for i, p in enumerate(paths):
+                    np.divide(self._frame(p), 255.0, out=out[i])
+                out -= 0.5
+                out /= 0.5
+                return
+            for i, p in enumerate(paths):
+                out[i] = self._frame(p)
+            return
+        c = self.channels
+        h, w = self.size
+        if self.data_type == "rgb" and self.normalize_rgb:
+            tmp = np.empty((h, w, len(paths) * c), np.uint8)
+            for i, p in enumerate(paths):
+                tmp[..., i * c:(i + 1) * c] = self._frame(p)
+            # same op order as rgb_to_tensor (x/255 - .5)/.5 for bit parity
+            np.divide(tmp, 255.0, out=out)
+            out -= 0.5
+            out /= 0.5
+            return
+        for i, p in enumerate(paths):
+            out[..., i * c:(i + 1) * c] = self._frame(p)
 
     def load_clip(self, paths: Sequence[str]) -> np.ndarray:
-        """paths (t,) -> (h, w, t*c) float32."""
-        if self.data_type == "rgb":
-            frames = [rgb_to_tensor(_decode_rgb(p, self.size)) for p in paths]
-        else:
-            frames = [load_flow(p, self.size, self.reproduce_flow_bug)
-                      for p in paths]
-        return np.concatenate(frames, axis=-1)
+        """paths (t,) -> clip_shape(t) array (float32, or uint8 for
+        fast-transfer rgb)."""
+        out = np.empty(self.clip_shape(len(paths)), self.clip_dtype())
+        self.load_clip_into(paths, out)
+        return out
 
 
 class TestClipDataset:
@@ -177,12 +299,18 @@ class TwoStreamTrainSampler:
                  loader_rgb: Optional[ClipLoader] = None,
                  loader_op: Optional[ClipLoader] = None,
                  aligned: bool = True, seed: int = 2017,
-                 image_size: int = 256, reproduce_flow_bug: bool = True):
+                 image_size: int = 256, reproduce_flow_bug: bool = True,
+                 cache_bytes: int = 2 << 30, normalize_rgb: bool = True,
+                 packed: bool = False):
         self.rgb_index, self.op_index = rgb_index, op_index
         self.clip_len_rgb, self.clip_len_op = clip_len_rgb, clip_len_op
-        self.loader_rgb = loader_rgb or ClipLoader("rgb", image_size)
+        cache = FrameCache(cache_bytes) if cache_bytes else None
+        self.loader_rgb = loader_rgb or ClipLoader(
+            "rgb", image_size, cache=cache, normalize_rgb=normalize_rgb,
+            packed=packed)
         self.loader_op = loader_op or ClipLoader(
-            "op", image_size, reproduce_flow_bug)
+            "op", image_size, reproduce_flow_bug, cache=cache,
+            packed=packed)
         self.aligned = aligned
         # reference uses a shared module-level RandomState(2017)
         # (two_stream_dataset.py:31); ours is per-sampler.
@@ -190,35 +318,65 @@ class TwoStreamTrainSampler:
         self.names = [n for n in rgb_index.names if n in op_index.videos]
         assert self.names, "no common sub-videos between rgb and op roots"
 
-    def _sample_one(self, index: VideoIndex, clip_len: int,
-                    loader: ClipLoader) -> np.ndarray:
+    def _draw_one(self, index: VideoIndex, clip_len: int):
         name = self.names[self.rng.integers(len(self.names))]
-        offset = self.rng.integers(index.length(name) - clip_len + 1)
-        return loader.load_clip(index.videos[name][offset: offset + clip_len])
+        offset = int(self.rng.integers(index.length(name) - clip_len + 1))
+        return name, offset
 
-    def sample(self) -> Dict[str, np.ndarray]:
+    def draw(self):
+        """Draw one sample's (video, offset) coordinates — rng-sequential so
+        a seed reproduces the same clips regardless of how many loader
+        threads assemble them (:func:`parallel_batches`)."""
         if not self.aligned:
-            return {
-                "rgb": self._sample_one(self.rgb_index, self.clip_len_rgb,
-                                        self.loader_rgb),
-                "op": self._sample_one(self.op_index, self.clip_len_op,
-                                       self.loader_op),
-            }
+            return (self._draw_one(self.rgb_index, self.clip_len_rgb),
+                    self._draw_one(self.op_index, self.clip_len_op))
         name = self.names[self.rng.integers(len(self.names))]
         max_off = min(
             self.rgb_index.length(name) - self.clip_len_rgb,
             self.op_index.length(name) - self.clip_len_op,
         )
-        offset = int(self.rng.integers(max_off + 1))
-        rgb = self.loader_rgb.load_clip(
-            self.rgb_index.videos[name][offset: offset + self.clip_len_rgb])
-        op = self.loader_op.load_clip(
-            self.op_index.videos[name][offset: offset + self.clip_len_op])
-        return {"rgb": rgb, "op": op}
+        return name, int(self.rng.integers(max_off + 1))
+
+    def _paths(self, coord):
+        if not self.aligned:
+            (rgb_name, rgb_off), (op_name, op_off) = coord
+        else:
+            rgb_name = op_name = coord[0]
+            rgb_off = op_off = coord[1]
+        return (self.rgb_index.videos[rgb_name]
+                [rgb_off: rgb_off + self.clip_len_rgb],
+                self.op_index.videos[op_name]
+                [op_off: op_off + self.clip_len_op])
+
+    def alloc_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        return {
+            "rgb": np.empty(
+                (batch_size, *self.loader_rgb.clip_shape(self.clip_len_rgb)),
+                self.loader_rgb.clip_dtype()),
+            "op": np.empty(
+                (batch_size, *self.loader_op.clip_shape(self.clip_len_op)),
+                np.float32),
+        }
+
+    def load_into(self, coord, out: Dict[str, np.ndarray], i: int) -> None:
+        """Assemble one drawn sample into batch row ``i`` (thread-safe)."""
+        rgb_paths, op_paths = self._paths(coord)
+        self.loader_rgb.load_clip_into(rgb_paths, out["rgb"][i])
+        self.loader_op.load_clip_into(op_paths, out["op"][i])
+
+    def load(self, coord) -> Dict[str, np.ndarray]:
+        rgb_paths, op_paths = self._paths(coord)
+        return {"rgb": self.loader_rgb.load_clip(rgb_paths),
+                "op": self.loader_op.load_clip(op_paths)}
+
+    def sample(self) -> Dict[str, np.ndarray]:
+        return self.load(self.draw())
 
     def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
-        samples = [self.sample() for _ in range(batch_size)]
-        return {k: np.stack([s[k] for s in samples]) for k in ("rgb", "op")}
+        out = self.alloc_batch(batch_size)
+        for i in range(batch_size):
+            self.load_into(self.draw(), out, i)
+        return out
 
 
 class SingleStreamTrainSampler:
@@ -231,13 +389,66 @@ class SingleStreamTrainSampler:
         self.loader = loader
         self.rng = np.random.default_rng(seed)
 
-    def sample(self) -> np.ndarray:
+    def draw(self):
         names = self.index.names
         name = names[self.rng.integers(len(names))]
         offset = int(self.rng.integers(
             self.index.length(name) - self.clip_length + 1))
+        return name, offset
+
+    def load(self, coord) -> np.ndarray:
+        name, offset = coord
         return self.loader.load_clip(
             self.index.videos[name][offset: offset + self.clip_length])
 
+    def alloc_batch(self, batch_size: int) -> np.ndarray:
+        return np.empty(
+            (batch_size, *self.loader.clip_shape(self.clip_length)),
+            self.loader.clip_dtype())
+
+    def load_into(self, coord, out: np.ndarray, i: int) -> None:
+        name, offset = coord
+        self.loader.load_clip_into(
+            self.index.videos[name][offset: offset + self.clip_length],
+            out[i])
+
+    def sample(self) -> np.ndarray:
+        return self.load(self.draw())
+
     def batch(self, batch_size: int) -> np.ndarray:
-        return np.stack([self.sample() for _ in range(batch_size)])
+        out = self.alloc_batch(batch_size)
+        for i in range(batch_size):
+            self.load_into(self.draw(), out, i)
+        return out
+
+
+def parallel_batches(sampler, batch_size: int, num_workers: int = 8,
+                     depth: int = 4) -> Iterator:
+    """Infinite training-batch iterator with parallel clip assembly.
+
+    Coordinates are drawn rng-sequentially on the calling thread (so a seed
+    reproduces the exact clip sequence), the JPEG/.flo decoding fans out on a
+    thread pool (cv2/np release the GIL), and ``depth`` whole batches stay in
+    flight — the thread-based replacement for the reference's
+    ``DataLoader(num_workers=16)`` worker processes
+    (``Code/run_helper/train_helper.py:230-232``).  Requires a sampler with
+    ``draw()``/``load()`` (both train sampler classes here).
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def submit():
+        out = sampler.alloc_batch(batch_size)
+        futures = [pool.submit(sampler.load_into, sampler.draw(), out, i)
+                   for i in range(batch_size)]
+        return out, futures
+
+    inflight = deque(submit() for _ in range(max(1, depth)))
+    while True:
+        out, futures = inflight.popleft()
+        for f in futures:
+            f.result()
+        inflight.append(submit())
+        yield out

@@ -55,6 +55,12 @@ def parser_args(argv=None):
     p.add_argument("--step_log", type=int, default=10)
     p.add_argument("--step_summary", type=int, default=100)
     p.add_argument("--step_save", type=int, default=1000)
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="decode threads for the file-tree (normal) backend")
+    p.add_argument("--cache_gb", type=float, default=2.0,
+                   help="decoded-frame LRU cache for the file-tree backend "
+                        "(GiB; 0 disables) -- training revisits each frame "
+                        "clip_len x epochs times")
     p.add_argument("--backend", default="normal",
                    choices=["normal", "framepack", "lmdb"],
                    help="training data backend; framepack/lmdb roots point "
@@ -112,7 +118,7 @@ def main(argv=None):
         DataConfig, ExperimentConfig, NetConfig, OptimConfig)
     from ..data.datasets import (
         ClipLoader, SingleStreamTrainSampler, TwoStreamTrainSampler,
-        VideoIndex)
+        VideoIndex, parallel_batches)
     from ..models import PixelDiscriminator, build_generator
     from ..models.flownet_sd import FlowNet2SD
     from ..ops.metrics import psnr_error
@@ -226,11 +232,16 @@ def main(argv=None):
             gen, disc, flownet, loss_cfg, g_tx, d_tx))
 
         if args.backend == "normal":
+            # uint8 + frame-packed clips: host assembly is contiguous
+            # memcpys only; the jitted step normalizes and interleaves
+            # (an XLA transpose, free on TPU)
             sampler = TwoStreamTrainSampler(
                 VideoIndex(data.rgb_root), VideoIndex(data.op_root),
                 clip_len_rgb=5, clip_len_op=4,
                 aligned=args.aligned_sampling, image_size=size,
-                reproduce_flow_bug=data.reproduce_flow_channel_bug)
+                reproduce_flow_bug=data.reproduce_flow_channel_bug,
+                cache_bytes=int(args.cache_gb * (1 << 30)),
+                normalize_rgb=False, packed=True)
         else:
             from ..data import get_dataset
 
@@ -256,29 +267,33 @@ def main(argv=None):
                     yield {"rgb": jnp.asarray(b["rgb"]),
                            "op": jnp.asarray(
                                b["op"].astype(ml_dtypes.bfloat16))}
+        elif args.backend == "normal":
+            # file-tree backend decodes JPEG/.flo per clip on the host:
+            # fan the decoding out (reference: DataLoader num_workers=16)
+            def batches():
+                for b in parallel_batches(sampler, args.batch_size,
+                                          num_workers=args.num_workers):
+                    yield {k: jnp.asarray(v) for k, v in b.items()}
         else:
             def batches():
                 while True:
                     b = sampler.batch(args.batch_size)
                     yield {k: jnp.asarray(v) for k, v in b.items()}
 
-        def _rng(x):
-            if x.dtype == jnp.uint8:
-                return (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-            return x
+        from ..train.steps import _to_model_range
 
         def psnr_fn(state, batch):
             variables = {"params": state.g_params, **state.g_state}
-            rgb = _rng(batch["rgb"])
-            op = batch["op"].astype(jnp.float32)
+            rgb = _to_model_range(batch["rgb"])
+            op = _to_model_range(batch["op"])
             pred, _, _, _ = gen.apply(variables, rgb[..., :-3],
                                       op[..., :-2], False)
             return psnr_error(pred, rgb[..., -3:])
 
         def vis_fn(state, batch):
             variables = {"params": state.g_params, **state.g_state}
-            rgb = _rng(batch["rgb"])
-            op = batch["op"].astype(jnp.float32)
+            rgb = _to_model_range(batch["rgb"])
+            op = _to_model_range(batch["op"])
             rgb_pred, op_pred, _, _ = gen.apply(
                 variables, rgb[..., :-3], op[..., :-2], False)
             n = min(4, rgb_pred.shape[0])
@@ -297,17 +312,26 @@ def main(argv=None):
         step_fn = jax.jit(make_single_stream_train_step(
             gen, disc, flownet, loss_cfg, g_tx, d_tx,
             data_type=args.data_type))
+        from ..data.datasets import FrameCache
+
         root = data.rgb_root if args.data_type == "rgb" else data.op_root
+        cache = (FrameCache(int(args.cache_gb * (1 << 30)))
+                 if args.cache_gb > 0 else None)
         sampler = SingleStreamTrainSampler(
             VideoIndex(root), t + 1,
-            ClipLoader(args.data_type, size, data.reproduce_flow_channel_bug))
+            ClipLoader(args.data_type, size, data.reproduce_flow_channel_bug,
+                       cache=cache, normalize_rgb=False, packed=True))
 
         def batches():
-            while True:
-                yield jnp.asarray(sampler.batch(args.batch_size))
+            for b in parallel_batches(sampler, args.batch_size,
+                                      num_workers=args.num_workers):
+                yield jnp.asarray(b)
+
+        from ..train.steps import _to_model_range
 
         def psnr_fn(state, batch):
             variables = {"params": state.g_params, **state.g_state}
+            batch = _to_model_range(batch)
             pred, _, _ = gen.apply(variables, batch[..., :-c], False)
             return psnr_error(pred, batch[..., -c:])
 

@@ -37,11 +37,22 @@ MUTABLE = ("batch_stats", "codebook")
 
 
 def _to_model_range(x):
-    """Accept clips either pre-normalized ([-1,1] float, the parity path) or
-    as raw uint8 (the fast-transfer path: 3x fewer PCIe bytes; normalization
-    fuses into the step like the inference scorer)."""
+    """Accept clips in any of the batch layouts the data layer emits:
+
+    * pre-normalized (b, h, w, t*c) float — the parity path;
+    * raw uint8 — the fast-transfer path (3x fewer PCIe bytes), with the
+      identical (x/255 - .5)/.5 normalization fused into the step;
+    * frame-packed (b, t, h, w, c) — hosts emit contiguous per-frame copies
+      (the strided channel interleave cost ~2.5 ms/clip on the host) and the
+      interleave happens here as an XLA transpose, effectively free on TPU.
+    """
     if x.dtype == jnp.uint8:
-        return (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        x = (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+    elif x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    if x.ndim == 5:  # (b, t, h, w, c) -> (b, h, w, t*c)
+        b, t, h, w, c = x.shape
+        x = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
     return x
 
 
@@ -84,7 +95,7 @@ def make_twostream_train_step(
     def train_step(state: AMMCTrainState, batch: Dict, flow_vars
                    ) -> Tuple[AMMCTrainState, Dict]:
         rgb = _to_model_range(batch["rgb"])  # (b, h, w, t*c) incl target
-        op = batch["op"].astype(jnp.float32)
+        op = _to_model_range(batch["op"])
         rgb_input, rgb_target = rgb[..., :-rgb_channels], rgb[..., -rgb_channels:]
         op_input, op_target = op[..., :-op_channels], op[..., -op_channels:]
 
@@ -150,8 +161,7 @@ def make_single_stream_train_step(
 
     def train_step(state: AMMCTrainState, batch: jax.Array, flow_vars
                    ) -> Tuple[AMMCTrainState, Dict]:
-        clip = (_to_model_range(batch) if data_type == "rgb"
-                else batch.astype(jnp.float32))  # (b, h, w, t*c)
+        clip = _to_model_range(batch)  # (b, h, w, t*c)
         x_input, x_target = clip[..., :-c], clip[..., -c:]
 
         def g_loss(g_params):

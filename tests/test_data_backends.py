@@ -91,6 +91,61 @@ class TestDatasetFactory:
     def test_lmdb_backend_gated(self, toydata):
         pytest.importorskip("lmdb", reason="py-lmdb not installed")
 
+    def test_parallel_batches_deterministic(self, toydata):
+        """parallel_batches must yield the exact clips the serial sampler
+        yields for the same seed — decode threading must not perturb the
+        rng draw sequence."""
+        from ammcnet_aaai2021_tpu.data.datasets import parallel_batches
+
+        kwargs = dict(
+            rgb_root=os.path.join(toydata, "toydata", "training", "frames"),
+            op_root=os.path.join(toydata, "toydata", "training", "flows"),
+            image_size=32, seed=11)
+        serial = get_dataset("rgb_op", "training", "normal", **kwargs)
+        expected = [serial.batch(3) for _ in range(4)]
+        parallel = get_dataset("rgb_op", "training", "normal", **kwargs)
+        it = parallel_batches(parallel, 3, num_workers=4, depth=2)
+        for want in expected:
+            got = next(it)
+            for k in ("rgb", "op"):
+                np.testing.assert_array_equal(got[k], want[k])
+
+    def test_packed_u8_layout_matches_parity_path(self, toydata):
+        """The fast path (uint8 + frame-packed + in-step normalize/interleave)
+        must produce bit-identical model inputs to the float parity path."""
+        from ammcnet_aaai2021_tpu.data.datasets import (
+            TwoStreamTrainSampler, VideoIndex)
+        from ammcnet_aaai2021_tpu.train.steps import _to_model_range
+
+        kwargs = dict(clip_len_rgb=5, clip_len_op=4, image_size=32, seed=7)
+        roots = (VideoIndex(os.path.join(toydata, "toydata", "training",
+                                         "frames")),
+                 VideoIndex(os.path.join(toydata, "toydata", "training",
+                                         "flows")))
+        parity = TwoStreamTrainSampler(*roots, **kwargs)
+        fast = TwoStreamTrainSampler(*roots, **kwargs,
+                                     normalize_rgb=False, packed=True)
+        want = parity.batch(3)
+        got = fast.batch(3)
+        assert got["rgb"].dtype == np.uint8
+        assert got["rgb"].shape == (3, 5, 32, 32, 3)
+        np.testing.assert_array_equal(
+            np.asarray(_to_model_range(got["rgb"])), want["rgb"])
+        np.testing.assert_array_equal(
+            np.asarray(_to_model_range(got["op"])), want["op"])
+
+    def test_parallel_batches_single_stream(self, toydata):
+        from ammcnet_aaai2021_tpu.data.datasets import (
+            ClipLoader, SingleStreamTrainSampler, VideoIndex,
+            parallel_batches)
+
+        root = os.path.join(toydata, "toydata", "training", "frames")
+        mk = lambda: SingleStreamTrainSampler(
+            VideoIndex(root), 5, ClipLoader("rgb", 32), seed=3)
+        want = mk().batch(2)
+        got = next(parallel_batches(mk(), 2, num_workers=4))
+        np.testing.assert_array_equal(got, want)
+
     def test_unknown_backend(self):
         with pytest.raises(ValueError, match="which_ds"):
             get_dataset("rgb", "training", "nope")
