@@ -437,12 +437,19 @@ def score_dataset(
     batch_commit: bool = False,
     reproduce_op_psnr_bug: bool = False,
     use_native_loader: bool = False,
+    shard_dir: Optional[str] = None,
 ) -> Tuple[Dict, float]:
     """Per-video batched scoring over a test set.
 
     ``flow_extractor`` (from :func:`make_otf_flow_extractor`) switches the
     motion stream to on-device FlowNet extraction; ``op_root`` is then
     ignored and no .flo files are read.
+
+    Multi-host (``jax.process_count() > 1``): sub-videos are dealt
+    round-robin across hosts (each host scores only its share), record
+    shards merge through ``shard_dir`` (a path every host can reach), and
+    rank 0 returns the records in global video order — other ranks return
+    their local shard (callers should pickle/evaluate on rank 0 only).
 
     Returns (result_dict in the reference's golden-pickle schema, fps).
     """
@@ -494,6 +501,20 @@ def score_dataset(
     t0 = time.time()
     total_frames = 0
     names = rgb_index.names
+    all_names = names
+    multihost = jax.process_count() > 1
+    if multihost:
+        from ..parallel.multihost import host_shard
+
+        if not shard_dir:
+            raise ValueError(
+                "multi-host evaluation needs shard_dir (a directory every "
+                "host can reach) to merge the ragged per-video records")
+        names = host_shard(names)
+        if logger:
+            logger.info("host %d/%d scoring %d of %d videos",
+                        jax.process_index(), jax.process_count(),
+                        len(names), len(all_names))
     # three-stage pipeline: decode(i+1) on host threads || upload(i+1) to
     # device || compute(i) on chip — one jit dispatch and one result fetch
     # per video, all async so transfers and the TPU program overlap
@@ -510,10 +531,11 @@ def score_dataset(
         v_rgb, v_op = upload_video(rgb_h, op_h, flow_dtype)
         return v_rgb, v_op, true_frames
 
-    next_decoded = pool.submit(decode_video, names[0])
-    current = upload_next(next_decoded.result())
-    if len(names) > 1:
-        next_decoded = pool.submit(decode_video, names[1])
+    if names:
+        next_decoded = pool.submit(decode_video, names[0])
+        current = upload_next(next_decoded.result())
+        if len(names) > 1:
+            next_decoded = pool.submit(decode_video, names[1])
     for vi, name in enumerate(names):
         v_rgb, v_op, num_frame = current
         n_windows = num_frame - clip_len_rgb + 1
@@ -541,6 +563,14 @@ def score_dataset(
             _assemble_records(op_fea, num_frame, clip_len_op))
         if logger:
             logger.info("finish test video set %s", name)
+    if multihost:
+        from ..parallel.multihost import (barrier, merge_record_shards,
+                                          write_record_shard)
+
+        write_record_shard(shard_dir, result, names)
+        barrier("ammcnet_eval_record_shards")
+        if jax.process_index() == 0:
+            result.update(merge_record_shards(shard_dir, all_names))
     used = time.time() - t0
     fps = total_frames / used if used > 0 else 0.0
     if logger:

@@ -22,6 +22,28 @@ import jax
 T = TypeVar("T")
 
 
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Cross-process barrier via the coordination service.
+
+    Preferred over ``multihost_utils.sync_global_devices`` for host-side
+    rendezvous (e.g. "all record shards written"): it does not build a
+    device collective, so it works when ranks are minutes apart (gloo/NCCL
+    context initialization deadlines are ~30 s) and costs no compile.
+    No-op in single-process runs.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:  # initialized through some other path: device barrier
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+        return
+    client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
 def host_shard(items: Sequence[T]) -> List[T]:
     """Round-robin deal of items (e.g. sub-video names) to this host."""
     return list(items[jax.process_index()::jax.process_count()])

@@ -101,6 +101,13 @@ def main(argv=None) -> dict:
             cfg, net=dataclasses.replace(cfg.net, image_size=args.image_size),
             data=dataclasses.replace(cfg.data, image_size=args.image_size))
 
+    if jax.process_count() > 1:
+        # multi-host evaluation is per-host parallel (each host scores its
+        # video shard); pin this process's computations to ITS devices —
+        # without this, init/jit default to global placement and the scorer
+        # would close over non-addressable arrays
+        jax.config.update("jax_default_device", jax.local_devices()[0])
+
     model = build_model(cfg.net, mode="testing", per_sample_diff=True)
     gen = model.generator
 
@@ -163,6 +170,7 @@ def main(argv=None) -> dict:
 
     rgb_root = os.path.join(args.data_dir, args.dataset_name, "testing", "frames")
     op_root = os.path.join(args.data_dir, args.dataset_name, "testing", "flows")
+    multihost = jax.process_count() > 1
     result, fps = score_dataset(
         gen, variables, rgb_root, op_root, args.dataset_name,
         clip_len_rgb=cfg.data.clip_length_rgb,
@@ -172,7 +180,13 @@ def main(argv=None) -> dict:
         flow_extractor=flow_extractor, metric=args.metric,
         batch_commit=args.batch_commit,
         reproduce_op_psnr_bug=args.reproduce_op_psnr_bug,
-        use_native_loader=args.native_loader)
+        use_native_loader=args.native_loader,
+        shard_dir=(os.path.join(args.save_dir, "record_shards")
+                   if multihost else None))
+    if multihost and jax.process_index() != 0:
+        # records were merged by rank 0; this rank only contributed scores
+        logger.info("rank %d done (%.3f local fps)", jax.process_index(), fps)
+        return {"fps": fps, "rank": jax.process_index()}
 
     pickle_dir = os.path.join(args.save_dir, args.eval_type, "save_pickle")
     os.makedirs(pickle_dir, exist_ok=True)

@@ -1,0 +1,88 @@
+"""Multi-host evaluation: two REAL jax.distributed CPU processes score a
+dataset cooperatively; rank 0's merged records must equal the single-process
+result in global video order."""
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ammcnet_aaai2021_tpu.tools.make_toydata import make_toydata
+
+_WORKER = r"""
+import sys
+import jax
+
+jax.distributed.initialize(coordinator_address="127.0.0.1:23517",
+                           num_processes=2, process_id=int(sys.argv[1]))
+# NOTE: local_devices, not devices -- jax.devices() is the GLOBAL list in
+# multi-process runs and [0] would be rank 0's device on every rank
+jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
+
+from ammcnet_aaai2021_tpu.runners.run_test import main
+
+ret = main(["--dataset_name", "toydata", "--data_dir", sys.argv[2],
+            "--save_dir", sys.argv[3], "--batch_size", "2",
+            "--image_size", "32"])
+print("RANK_DONE", jax.process_index(), ret.get("rank", 0), flush=True)
+
+# rendezvous before exit: rank 1 finishes its (smaller) share long before
+# rank 0 completes merge+eval; exiting early would hit the 300s shutdown
+# barrier while rank 0 still works
+from ammcnet_aaai2021_tpu.parallel.multihost import barrier
+
+barrier("worker_done", timeout_ms=1_200_000)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_eval_matches_single(tmp_path):
+    data_dir = str(tmp_path / "data")
+    make_toydata(data_dir, frames_per_video=10, image_size=32)
+
+    # single-process reference result (also pre-warms the compile cache the
+    # worker processes read, keeping their barrier skew under gloo's 30s
+    # context-init deadline on this 1-core image)
+    from ammcnet_aaai2021_tpu.runners.run_test import main
+
+    single = main(["--dataset_name", "toydata", "--data_dir", data_dir,
+                   "--save_dir", str(tmp_path / "single"),
+                   "--batch_size", "2", "--image_size", "32"])
+    with open(single["pickle"], "rb") as fh:
+        want = pickle.load(fh)
+
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    save_dir = str(tmp_path / "multi")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo"}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(rank), data_dir, save_dir],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd="/root/repo", env=env) for rank in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    if any(p.returncode != 0 for p in procs):
+        raise AssertionError(
+            "\n".join(f"--- rank {i} (rc={p.returncode}) ---\n{out[-2500:]}"
+                      for i, (p, out) in enumerate(zip(procs, outs))))
+    assert any("RANK_DONE 0" in o for o in outs)
+    assert any("RANK_DONE 1" in o for o in outs)
+
+    # rank 0 pickled the merged records in global video order
+    merged_path = os.path.join(
+        save_dir, "img_pred_fea_comm_rgb_auc", "save_pickle", "toydata")
+    with open(merged_path, "rb") as fh:
+        got = pickle.load(fh)
+    assert got["dataset"] == want["dataset"]
+    for key in ("rgb_img_pred_records", "rgb_fea_comm_records",
+                "op_img_pred_records", "op_fea_comm_records"):
+        assert len(got[key]) == len(want[key])
+        for g, w in zip(got[key], want[key]):
+            np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-5)
+
+    # both hosts actually wrote shards
+    shard_dir = os.path.join(save_dir, "record_shards")
+    shards = [f for f in os.listdir(shard_dir) if f.startswith("records_")]
+    assert len(shards) == 2
