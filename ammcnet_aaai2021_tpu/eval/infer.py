@@ -244,15 +244,18 @@ def make_multi_video_scorer(generator, variables,
         n_batches = -(-n_windows // window_batch)
         starts = jnp.minimum(jnp.arange(n_batches * window_batch),
                              n_windows - 1).reshape(n_batches, window_batch)
-        # flattened (video x window-batch) grid: uniform per-step compute
-        vid = jnp.repeat(jnp.arange(n), n_batches)          # (n*nb,)
-        grid = jnp.tile(starts, (n, 1))                     # (n*nb, wb)
-        out = jax.lax.map(
-            lambda a: score_batch(video_rgb[a[0]], video_op[a[0]], a[1]),
-            (vid, grid))
-        # (n*nb, 4, wb) -> (n, 4, nb*wb)
-        return jnp.transpose(out.reshape(n, n_batches, 4, window_batch),
-                             (0, 2, 1, 3)).reshape(n, 4, -1)
+
+        # nested lax.map (scan-in-scan): the outer map feeds each step its
+        # own video by native scan operand slicing — a dynamic-index gather
+        # of the whole stacked tensor inside the loop body instead sent this
+        # environment's remote XLA service into a >1h compile
+        def per_video(args):
+            vr, vo = args
+            return jax.lax.map(lambda idx: score_batch(vr, vo, idx),
+                               starts)  # (nb, 4, wb)
+
+        out = jax.lax.map(per_video, (video_rgb, video_op))  # (n, nb, 4, wb)
+        return jnp.transpose(out, (0, 2, 1, 3)).reshape(n, 4, -1)
 
     return score_chunk
 

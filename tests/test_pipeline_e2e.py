@@ -93,6 +93,25 @@ class TestRunTrainCLI:
         assert os.path.exists(os.path.join(run_dir, "summary", "scalars.csv"))
 
 
+class TestTwoStageRecipe:
+    def test_recipe_chain_executes(self, toydata, tmp_path):
+        """Full reference pipeline as one flow: stage-1 rgb -> stage-1 op ->
+        graft -> stage-2 -> run_test (train_helper.py:217-427,1323-1850 +
+        utils.py:236-263). Tiny step counts: this validates the CHAIN; the
+        learning-quality run lives on the real chip (PERF.md)."""
+        from ammcnet_aaai2021_tpu.tools.run_recipe import main
+
+        out = main(["--data_dir", toydata, "--dataset_name", "toydata",
+                    "--save_dir", str(tmp_path / "recipe"),
+                    "--image_size", "64", "--batch_size", "2",
+                    "--stage1_iters", "1", "--stage2_iters", "1",
+                    "--n_embed", "32", "--k", "1",
+                    "--skip_scratch_control"])
+        assert 0.0 <= out["auc_pretrained"] <= 1.0
+        assert os.path.isdir(out["stage1_rgb"])
+        assert os.path.isdir(out["stage1_op"])
+
+
 class TestExpTagRoundTrip:
     def test_run_test_resolves_exp_tag(self, toydata, tmp_path):
         """Train registers exp_tag -> run dir with its config; run_test
