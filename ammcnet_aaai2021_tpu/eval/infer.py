@@ -135,7 +135,9 @@ def make_video_scorer(generator, variables,
 def make_full_video_scorer(generator, variables,
                            clip_len_rgb: int = 5, clip_len_op: int = 4,
                            window_batch: int = 32,
-                           rgb_channels: int = 3, op_channels: int = 2
+                           rgb_channels: int = 3, op_channels: int = 2,
+                           metric: str = "psnr",
+                           reproduce_op_psnr_bug: bool = False
                            ) -> Callable:
     """Whole-video scorer: ONE jit call scores every sliding window of a
     sub-video (lax.map over window batches inside the program), so a video
@@ -157,6 +159,8 @@ def make_full_video_scorer(generator, variables,
         b, _, h, w, c = frames.shape
         return jnp.transpose(frames, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
 
+    metric_fn = PER_FRAME_METRICS[metric]
+
     def score_batch(video_rgb, video_op, idx):
         rgb_clip = stack_windows(video_rgb, idx, clip_len_rgb)
         op_clip = stack_windows(video_op, idx, clip_len_op)
@@ -166,10 +170,14 @@ def make_full_video_scorer(generator, variables,
         rgb_pred, op_pred, diffs, _ = generator.apply(
             variables, rgb_input, op_input, False)
         rgb_diff, op_diff = diffs
+        if reproduce_op_psnr_bug:
+            op_score = op_psnr_reference_bug(op_pred, op_input)
+        else:
+            op_score = metric_fn(op_pred, op_target.astype(jnp.float32))
         return jnp.stack([
-            psnr_per_frame(rgb_pred, rgb_target),
+            metric_fn(rgb_pred, rgb_target),
             jnp.broadcast_to(rgb_diff, rgb_pred.shape[:1]).astype(jnp.float32),
-            psnr_per_frame(op_pred, op_target.astype(jnp.float32)),
+            op_score,
             jnp.broadcast_to(op_diff, op_pred.shape[:1]).astype(jnp.float32),
         ])
 
@@ -441,6 +449,7 @@ def score_dataset(
     reproduce_op_psnr_bug: bool = False,
     use_native_loader: bool = False,
     shard_dir: Optional[str] = None,
+    scorer_mode: str = "auto",
 ) -> Tuple[Dict, float]:
     """Per-video batched scoring over a test set.
 
@@ -460,13 +469,32 @@ def score_dataset(
 
     from ..data.datasets import _decode_rgb, load_flow
 
-    # batch-window scorer: compiles one small program (the whole-video
-    # lax.map variant is available via make_full_video_scorer but its larger
-    # program is pathological on this environment's remote-compile service)
-    scorer = make_video_scorer(generator, variables, clip_len_rgb,
-                               clip_len_op, window_batch=batch_size,
-                               metric=metric,
-                               reproduce_op_psnr_bug=reproduce_op_psnr_bug)
+    if scorer_mode == "auto":
+        # whole-video scoring (1 dispatch + 1 fetch per video) is the right
+        # default on co-located hardware; fall back to the small per-batch
+        # program when compiles go through a remote service (the 'axon'
+        # tunnel in this environment), where the larger lax.map program can
+        # take arbitrarily long to compile
+        try:
+            from jax._src import xla_bridge
+
+            remote_compile = "axon" in xla_bridge.backends()
+        except Exception:
+            remote_compile = False
+        scorer_mode = "batch" if remote_compile else "video"
+    if scorer_mode == "video":
+        scorer = make_full_video_scorer(
+            generator, variables, clip_len_rgb, clip_len_op,
+            window_batch=batch_size, metric=metric,
+            reproduce_op_psnr_bug=reproduce_op_psnr_bug)
+    elif scorer_mode == "batch":
+        scorer = make_video_scorer(
+            generator, variables, clip_len_rgb, clip_len_op,
+            window_batch=batch_size, metric=metric,
+            reproduce_op_psnr_bug=reproduce_op_psnr_bug)
+    else:
+        raise ValueError(f"unknown scorer_mode {scorer_mode!r} "
+                         "(batch | video | auto)")
     rgb_index = VideoIndex(rgb_root)
     op_index = VideoIndex(op_root) if flow_extractor is None else None
     size = (image_size, image_size)
@@ -542,13 +570,20 @@ def score_dataset(
     for vi, name in enumerate(names):
         v_rgb, v_op, num_frame = current
         n_windows = num_frame - clip_len_rgb + 1
-        launched = launch_video_scoring(scorer, v_rgb, v_op, n_windows,
-                                        batch_size)  # async dispatch
+        if scorer_mode == "video":
+            launched = scorer(v_rgb, v_op)  # ONE async dispatch
+        else:
+            launched = launch_video_scoring(scorer, v_rgb, v_op, n_windows,
+                                            batch_size)  # async dispatches
         if vi + 1 < len(names):
             current = upload_next(next_decoded.result())
             if vi + 2 < len(names):
                 next_decoded = pool.submit(decode_video, names[vi + 2])
-        rgb_psnr, rgb_fea, op_psnr, op_fea = gather_video_scores(*launched)
+        if scorer_mode == "video":
+            rgb_psnr, rgb_fea, op_psnr, op_fea = \
+                np.asarray(launched)[:, :n_windows]
+        else:
+            rgb_psnr, rgb_fea, op_psnr, op_fea = gather_video_scores(*launched)
         if batch_commit:
             # reference-exact commit records: one batch-mean value per
             # DataLoader batch (test_helper.py:446), partial final batch

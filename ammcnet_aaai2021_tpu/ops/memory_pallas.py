@@ -140,12 +140,11 @@ def quantize_topk_pallas_train(
     """Training-path fused kernel: lookup outputs PLUS the EMA statistics
     (counts (n_embed,), embed_sum (dim, n_embed)) in one pass.
 
-    Padded rows select real codewords; their contribution to the statistics
-    is removed by the caller via the returned top1 indices? No — simpler:
-    padded rows are zero vectors whose nearest codeword contaminates counts,
-    so the caller must pass an exact multiple of tile_n or accept the
-    correction applied here: the wrapper subtracts the pad rows' (known,
-    identical) contribution on the host side.
+    Rows are zero-padded up to a multiple of ``tile_n``.  A pad row is the
+    zero vector: it contributes nothing to ``embed_sum`` (0^T @ onehot) but
+    adds 1 to its nearest codeword's count, so this wrapper subtracts the
+    pad rows' contribution from ``counts`` using their returned top-1
+    indices before handing the statistics back.
     """
     n, dim = flat.shape
     n_embed = embed.shape[1]

@@ -58,6 +58,12 @@ def parser_args(argv=None):
                    help="reference-exact op-stream psnr records (the torch "
                         "loop broadcasts the prediction against the 3-field "
                         "input stack, test_helper.py:434-436)")
+    p.add_argument("--scorer_mode", default="auto",
+                   choices=["auto", "batch", "video"],
+                   help="'video' scores a whole sub-video per jit dispatch "
+                        "(right on co-located chips); 'batch' uses small "
+                        "window-batch programs (right behind remote-compile "
+                        "tunnels); 'auto' picks by backend")
     p.add_argument("--native_loader", action="store_true",
                    help="decode frames/flows with the C++ loader (builds on "
                         "first use; decode differs from cv2 by <=1 LSB)")
@@ -182,7 +188,8 @@ def main(argv=None) -> dict:
         reproduce_op_psnr_bug=args.reproduce_op_psnr_bug,
         use_native_loader=args.native_loader,
         shard_dir=(os.path.join(args.save_dir, "record_shards")
-                   if multihost else None))
+                   if multihost else None),
+        scorer_mode=args.scorer_mode)
     if multihost and jax.process_index() != 0:
         # records were merged by rank 0; this rank only contributed scores
         logger.info("rank %d done (%.3f local fps)", jax.process_index(), fps)

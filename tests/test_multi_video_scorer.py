@@ -4,8 +4,18 @@ per-batch scorer's results exactly, video by video."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ammcnet_aaai2021_tpu.configs import NetConfig
+
+
+@pytest.fixture(scope="module")
+def toydata(tmp_path_factory):
+    from ammcnet_aaai2021_tpu.tools.make_toydata import make_toydata
+
+    root = str(tmp_path_factory.mktemp("toydata_scorer"))
+    make_toydata(root, frames_per_video=12, image_size=64)
+    return root
 from ammcnet_aaai2021_tpu.eval.infer import (
     gather_video_scores, launch_video_scoring, make_multi_video_scorer,
     make_video_scorer, pad_video_to_bucket)
@@ -41,3 +51,30 @@ def test_multi_video_scorer_matches_per_batch(rng):
         for ci in range(4):
             np.testing.assert_allclose(out[vi, ci, :n_windows], ref[ci],
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_score_dataset_video_mode_matches_batch(toydata):
+    """score_dataset(scorer_mode='video'): one whole-video dispatch per
+    sub-video must reproduce the per-batch scorer's records."""
+    import os
+
+    import jax as _jax
+
+    from ammcnet_aaai2021_tpu.eval.infer import score_dataset
+
+    cfg = NetConfig(dtype="float32", use_pallas_memory=False, n_embed=32)
+    gen = build_generator(cfg, per_sample_diff=True)
+    variables = gen.init({"params": _jax.random.PRNGKey(0)},
+                         jnp.zeros((1, 64, 64, 12)),
+                         jnp.zeros((1, 64, 64, 6)))
+    roots = (os.path.join(toydata, "toydata", "testing", "frames"),
+             os.path.join(toydata, "toydata", "testing", "flows"))
+    kwargs = dict(batch_size=4, image_size=64)
+    res_b, _ = score_dataset(gen, variables, *roots, "toydata",
+                             scorer_mode="batch", **kwargs)
+    res_v, _ = score_dataset(gen, variables, *roots, "toydata",
+                             scorer_mode="video", **kwargs)
+    for key in ("rgb_img_pred_records", "rgb_fea_comm_records",
+                "op_img_pred_records", "op_fea_comm_records"):
+        for b, v in zip(res_b[key], res_v[key]):
+            np.testing.assert_allclose(v, b, rtol=1e-5, atol=1e-5)
