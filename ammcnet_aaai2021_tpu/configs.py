@@ -185,16 +185,34 @@ _SUBCONFIGS = {
 
 
 # Per-dataset training loss weights.  The reference wires these from a
-# per-dataset tune-ini (constant_train.py:277-357) that was never released;
-# values here follow the anopred lineage the reference builds on (identical
-# across datasets in every public release of that lineage) and the VQ-VAE
-# commitment weight.  Structured per-dataset so users can diverge them the
-# way the ini did.
+# per-dataset tune-ini (constant_train.py:277-357) that was never released,
+# so exact AMMCNet training values are unrecoverable; what IS recoverable:
+#
+# * The ini's key names AND the comments around every getfloat call are
+#   verbatim from the anopred lineage this code descends on ("the
+#   percentage of the adversarial loss to use in the combined loss", ...
+#   — constant_train.py:281-291 == ano_pred_cvpr2018 constant.py), and
+#   anopred's published training config uses ONE set of loss weights for
+#   every dataset: lam_lp=1.0, lam_gdl=1.0, lam_adv=0.05, lam_flow=2.0,
+#   l_num=2, alpha_num=1.
+# * lam_latent (VQ commitment) is the standard beta=0.25 of VQ-VAE
+#   (van den Oord et al. 2017, eq. 3), which the reference's Quantize
+#   modules implement unchanged (unet.py:282-313).
+# * lam_lp_op has no lineage precedent; 1.0 mirrors lam_lp (both are the
+#   same intensity loss, loss_zoo.py:307-350 applies them symmetrically).
+#
+# The dicts below are therefore deliberately identical across datasets —
+# divergence, if the authors used any, lives only in the unreleased ini.
+# They stay structured per-dataset so users can diverge them the way the
+# ini did; entries override the same-named keys of train_loss_preset's base.
+_LINEAGE_LAMBDAS: Dict[str, Any] = dict(
+    l_num=2, alpha_num=1, lam_adv=0.05, lam_lp=1.0, lam_gdl=1.0,
+    lam_flow=2.0, lam_latent=0.25, lam_lp_op=1.0)
 TRAIN_LAMBDAS: Dict[str, Dict[str, Any]] = {
-    "ped2": {},
-    "avenue": {},
-    "shanghaitech": {},
-    "toydata": {},
+    "ped2": dict(_LINEAGE_LAMBDAS),
+    "avenue": dict(_LINEAGE_LAMBDAS),
+    "shanghaitech": dict(_LINEAGE_LAMBDAS),
+    "toydata": dict(_LINEAGE_LAMBDAS),
 }
 
 # Loss tags whose ini reader takes lam_gdl from the *lam_adv* key — a

@@ -45,13 +45,13 @@ def make_twostream_scorer(generator, variables,
     op_clip:  (b, h, w, t_op*2) likewise.
     """
 
-    def score(rgb_clip: jax.Array, op_clip: jax.Array):
+    def score(vars_, rgb_clip: jax.Array, op_clip: jax.Array):
         rgb_input = rgb_clip[..., :-rgb_channels]
         rgb_target = rgb_clip[..., -rgb_channels:]
         op_input = op_clip[..., :-op_channels]
         op_target = op_clip[..., -op_channels:]
         rgb_pred, op_pred, diffs, _ = generator.apply(
-            variables, rgb_input, op_input, False)
+            vars_, rgb_input, op_input, False)
         rgb_diff, op_diff = diffs
         return (
             psnr_per_frame(rgb_pred, rgb_target),
@@ -60,7 +60,12 @@ def make_twostream_scorer(generator, variables,
             jnp.broadcast_to(op_diff, op_pred.shape[:1]).astype(jnp.float32),
         )
 
-    return jax.jit(score)
+    # weights enter the program as PARAMETERS, not baked-in HLO constants:
+    # the traced module stays small (MBs, not 100+ MB), the remote compile
+    # service turns it around faster, and the persistent-cache key is stable
+    # across processes regardless of the weights' values
+    jitted = jax.jit(score)
+    return lambda rgb_clip, op_clip: jitted(variables, rgb_clip, op_clip)
 
 
 def make_video_scorer(generator, variables,
@@ -95,7 +100,7 @@ def make_video_scorer(generator, variables,
 
     metric_fn = PER_FRAME_METRICS[metric]
 
-    def score_windows(video_rgb_u8: jax.Array, video_op: jax.Array,
+    def score_windows(vars_, video_rgb_u8: jax.Array, video_op: jax.Array,
                       idx: jax.Array):
         # gather uint8 windows FIRST, then normalize only the (b,h,w,t*c)
         # clip — normalizing the whole video would redo full-video work in
@@ -108,7 +113,7 @@ def make_video_scorer(generator, variables,
         op_input = op_clip[..., :-op_channels]
         op_target = op_clip[..., -op_channels:]
         rgb_pred, op_pred, diffs, _ = generator.apply(
-            variables, rgb_input, op_input, False)
+            vars_, rgb_input, op_input, False)
         rgb_diff, op_diff = diffs
         if reproduce_op_psnr_bug:
             op_score = op_psnr_reference_bug(op_pred, op_input)
@@ -121,15 +126,19 @@ def make_video_scorer(generator, variables,
             jnp.broadcast_to(op_diff, op_pred.shape[:1]).astype(jnp.float32),
         )
 
+    # weights as program parameters, not HLO constants (see make_twostream_scorer)
     if mesh is None:
-        return jax.jit(score_windows)
+        jitted = jax.jit(score_windows)
+        return lambda v_rgb, v_op, idx: jitted(variables, v_rgb, v_op, idx)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     replicated = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))
-    return jax.jit(score_windows,
-                   in_shardings=(replicated, replicated, batch_sh),
-                   out_shardings=(batch_sh,) * 4)
+    jitted = jax.jit(
+        score_windows,
+        in_shardings=(replicated, replicated, replicated, batch_sh),
+        out_shardings=(batch_sh,) * 4)
+    return lambda v_rgb, v_op, idx: jitted(variables, v_rgb, v_op, idx)
 
 
 def make_full_video_scorer(generator, variables,
@@ -161,14 +170,14 @@ def make_full_video_scorer(generator, variables,
 
     metric_fn = PER_FRAME_METRICS[metric]
 
-    def score_batch(video_rgb, video_op, idx):
+    def score_batch(vars_, video_rgb, video_op, idx):
         rgb_clip = stack_windows(video_rgb, idx, clip_len_rgb)
         op_clip = stack_windows(video_op, idx, clip_len_op)
         rgb = (rgb_clip.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         rgb_input, rgb_target = rgb[..., :-rgb_channels], rgb[..., -rgb_channels:]
         op_input, op_target = op_clip[..., :-op_channels], op_clip[..., -op_channels:]
         rgb_pred, op_pred, diffs, _ = generator.apply(
-            variables, rgb_input, op_input, False)
+            vars_, rgb_input, op_input, False)
         rgb_diff, op_diff = diffs
         if reproduce_op_psnr_bug:
             op_score = op_psnr_reference_bug(op_pred, op_input)
@@ -182,18 +191,21 @@ def make_full_video_scorer(generator, variables,
         ])
 
     @jax.jit
-    def score_video(video_rgb_u8: jax.Array, video_op: jax.Array) -> jax.Array:
+    def score_video(vars_, video_rgb_u8: jax.Array,
+                    video_op: jax.Array) -> jax.Array:
         n_windows = video_rgb_u8.shape[0] - clip_len_rgb + 1
         n_batches = -(-n_windows // window_batch)
         # window starts padded by clamping into range (duplicates trimmed host-side)
         starts = jnp.minimum(jnp.arange(n_batches * window_batch),
                              n_windows - 1).reshape(n_batches, window_batch)
         out = jax.lax.map(
-            lambda idx: score_batch(video_rgb_u8, video_op, idx), starts)
+            lambda idx: score_batch(vars_, video_rgb_u8, video_op, idx),
+            starts)
         # (n_batches, 4, wb) -> (4, n_batches*wb)
         return jnp.transpose(out, (1, 0, 2)).reshape(4, -1)
 
-    return score_video
+    # weights as program parameters, not HLO constants (see make_twostream_scorer)
+    return lambda v_rgb, v_op: score_video(variables, v_rgb, v_op)
 
 
 def make_multi_video_scorer(generator, variables,
@@ -227,14 +239,14 @@ def make_multi_video_scorer(generator, variables,
         b, _, h, w, c = frames.shape
         return jnp.transpose(frames, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
 
-    def score_batch(video_rgb, video_op, idx):
+    def score_batch(vars_, video_rgb, video_op, idx):
         rgb_clip = stack_windows(video_rgb, idx, clip_len_rgb)
         op_clip = stack_windows(video_op, idx, clip_len_op)
         rgb = (rgb_clip.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         rgb_input, rgb_target = rgb[..., :-rgb_channels], rgb[..., -rgb_channels:]
         op_input, op_target = op_clip[..., :-op_channels], op_clip[..., -op_channels:]
         rgb_pred, op_pred, diffs, _ = generator.apply(
-            variables, rgb_input, op_input, False)
+            vars_, rgb_input, op_input, False)
         rgb_diff, op_diff = diffs
         return jnp.stack([
             psnr_per_frame(rgb_pred, rgb_target),
@@ -244,7 +256,7 @@ def make_multi_video_scorer(generator, variables,
         ])
 
     @jax.jit
-    def score_chunk(rgbs, ops) -> jax.Array:
+    def score_chunk(vars_, rgbs, ops) -> jax.Array:
         video_rgb = jnp.stack(rgbs)  # (n, T, h, w, 3) u8
         video_op = jnp.stack(ops)    # (n, T-1, h, w, 2)
         n = video_rgb.shape[0]
@@ -259,13 +271,14 @@ def make_multi_video_scorer(generator, variables,
         # environment's remote XLA service into a >1h compile
         def per_video(args):
             vr, vo = args
-            return jax.lax.map(lambda idx: score_batch(vr, vo, idx),
+            return jax.lax.map(lambda idx: score_batch(vars_, vr, vo, idx),
                                starts)  # (nb, 4, wb)
 
         out = jax.lax.map(per_video, (video_rgb, video_op))  # (n, nb, 4, wb)
         return jnp.transpose(out, (0, 2, 1, 3)).reshape(n, 4, -1)
 
-    return score_chunk
+    # weights as program parameters, not HLO constants (see make_twostream_scorer)
+    return lambda rgbs, ops: score_chunk(variables, rgbs, ops)
 
 
 def make_otf_flow_extractor(flow_net, flow_vars,
@@ -431,6 +444,26 @@ def _assemble_records(scores: np.ndarray, num_frame: int,
     return arr
 
 
+def _compiles_via_remote_service(variables) -> bool:
+    """True when programs for ``variables``' device compile through a remote
+    service (the experimental 'axon' TPU tunnel).  Uses only public device
+    attributes of arrays that are ALREADY committed to a device, so no
+    backend gets force-initialized (env override: AMMCNET_REMOTE_COMPILE)."""
+    import os
+
+    env = os.environ.get("AMMCNET_REMOTE_COMPILE")
+    if env is not None:
+        return env not in ("", "0", "false")
+    for leaf in jax.tree_util.tree_leaves(variables):
+        if isinstance(leaf, jax.Array):
+            try:
+                dev = next(iter(leaf.devices()))
+                return "axon" in dev.client.platform_version
+            except Exception:
+                return False
+    return False
+
+
 def score_dataset(
     generator,
     variables,
@@ -474,14 +507,12 @@ def score_dataset(
         # default on co-located hardware; fall back to the small per-batch
         # program when compiles go through a remote service (the 'axon'
         # tunnel in this environment), where the larger lax.map program can
-        # take arbitrarily long to compile
-        try:
-            from jax._src import xla_bridge
-
-            remote_compile = "axon" in xla_bridge.backends()
-        except Exception:
-            remote_compile = False
-        scorer_mode = "batch" if remote_compile else "video"
+        # take arbitrarily long to compile.  Probed from the device the
+        # model variables already live on (public API, initializes no
+        # backend — calling xla_bridge.backends() here would force-create
+        # the tunnel client on every rank even for CPU-only evaluation).
+        scorer_mode = ("batch" if _compiles_via_remote_service(variables)
+                       else "video")
     if scorer_mode == "video":
         scorer = make_full_video_scorer(
             generator, variables, clip_len_rgb, clip_len_op,
@@ -535,12 +566,18 @@ def score_dataset(
     all_names = names
     multihost = jax.process_count() > 1
     if multihost:
-        from ..parallel.multihost import host_shard
+        import os as _os
+
+        from ..parallel.multihost import agree_on_run_token, host_shard
 
         if not shard_dir:
             raise ValueError(
                 "multi-host evaluation needs shard_dir (a directory every "
                 "host can reach) to merge the ragged per-video records")
+        # fresh per-run subdirectory (token agreed while ranks are still
+        # start-aligned): a rerun into the same save_dir — fewer hosts,
+        # different checkpoint — can never merge another run's stale shards
+        shard_dir = _os.path.join(shard_dir, f"run_{agree_on_run_token()}")
         names = host_shard(names)
         if logger:
             logger.info("host %d/%d scoring %d of %d videos",
@@ -602,12 +639,15 @@ def score_dataset(
         if logger:
             logger.info("finish test video set %s", name)
     if multihost:
-        from ..parallel.multihost import (barrier, merge_record_shards,
-                                          write_record_shard)
+        from ..parallel.multihost import (merge_record_shards,
+                                          wait_for_shards, write_record_shard)
 
         write_record_shard(shard_dir, result, names)
-        barrier("ammcnet_eval_record_shards")
+        # collective-free end-of-run rendezvous: rank 0 polls for the other
+        # ranks' (atomically renamed) shard files — host-side collectives
+        # deadline when ranks finish minutes apart
         if jax.process_index() == 0:
+            wait_for_shards(shard_dir)
             result.update(merge_record_shards(shard_dir, all_names))
     used = time.time() - t0
     fps = total_frames / used if used > 0 else 0.0

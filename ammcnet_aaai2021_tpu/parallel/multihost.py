@@ -22,26 +22,56 @@ import jax
 T = TypeVar("T")
 
 
-def barrier(name: str, timeout_ms: int = 600_000) -> None:
-    """Cross-process barrier via the coordination service.
+def agree_on_run_token() -> str:
+    """All ranks agree on one fresh random token (rank 0's draw).
 
-    Preferred over ``multihost_utils.sync_global_devices`` for host-side
-    rendezvous (e.g. "all record shards written"): it does not build a
-    device collective, so it works when ranks are minutes apart (gloo/NCCL
-    context initialization deadlines are ~30 s) and costs no compile.
-    No-op in single-process runs.
+    Called at the START of an evaluation, when ranks are aligned (they just
+    left ``jax.distributed.initialize`` together) — so the one tiny
+    ``broadcast_one_to_all`` collective is safe even on backends whose
+    collective-context init has a short deadline (CPU gloo: ~30 s).  The
+    token names a fresh per-run shard directory, which is what makes the
+    END of the run collective-free: rank 0 rendezvouses by polling for the
+    shard FILES (:func:`wait_for_shards`), which tolerates ranks finishing
+    minutes apart and can never merge a previous run's stale shards.
     """
+    import uuid
+
+    import numpy as np
+
     if jax.process_count() == 1:
-        return
-    from jax._src import distributed
+        return uuid.uuid4().hex
+    from jax.experimental import multihost_utils
 
-    client = distributed.global_state.client
-    if client is None:  # initialized through some other path: device barrier
-        from jax.experimental import multihost_utils
+    local = np.frombuffer(uuid.uuid4().bytes, np.uint8)
+    tok = multihost_utils.broadcast_one_to_all(local)
+    return bytes(np.asarray(tok).tolist()).hex()
 
-        multihost_utils.sync_global_devices(name)
-        return
-    client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+def wait_for_shards(shard_dir: str, n_shards: int = 0,
+                    timeout_s: float = 3600.0, poll_s: float = 0.5) -> None:
+    """Rank-0 rendezvous: poll until every rank's ``records_*.pkl`` exists.
+
+    The shards travel via the shared filesystem and are written atomically
+    (write-then-rename), so observing the files directly is the strongest
+    rendezvous available — a device barrier would not even guarantee
+    cross-host filesystem visibility, and host-side collectives deadline
+    when ranks finish minutes apart (which slow videos make routine).
+    """
+    import os
+    import time
+
+    n_shards = n_shards or jax.process_count()
+    deadline = time.monotonic() + timeout_s
+    while True:
+        missing = [r for r in range(n_shards) if not os.path.exists(
+            os.path.join(shard_dir, f"records_{r:05d}.pkl"))]
+        if not missing:
+            return
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"still waiting for record shards from ranks {missing} "
+                f"under {shard_dir!r} after {timeout_s:.0f}s")
+        time.sleep(poll_s)
 
 
 def host_shard(items: Sequence[T]) -> List[T]:
@@ -79,24 +109,38 @@ def write_record_shard(shard_dir: str, local_records: Dict[str, list],
 
     os.makedirs(shard_dir, exist_ok=True)
     path = os.path.join(shard_dir, f"records_{jax.process_index():05d}.pkl")
-    with open(path, "wb") as fh:
+    # write-then-rename: a reader (rank 0's merge after the barrier) never
+    # sees a half-written shard, and a rerun into the same shard_dir
+    # atomically replaces its own stale shard
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
         pickle.dump({"names": list(local_names), "records": local_records},
                     fh, pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
     return path
 
 
-def merge_record_shards(shard_dir: str,
-                        video_names: Sequence[str]) -> Dict[str, list]:
-    """Rank-0 merge: reassemble all hosts' shards in global video order."""
+def merge_record_shards(shard_dir: str, video_names: Sequence[str],
+                        n_shards: int = 0) -> Dict[str, list]:
+    """Rank-0 merge: reassemble all hosts' shards in global video order.
+
+    Reads exactly the ``n_shards`` (default ``jax.process_count()``) shard
+    files THIS run's ranks wrote — stale ``records_*.pkl`` left by an
+    earlier run with more hosts (or a different checkpoint) are ignored, so
+    a rerun into the same shard_dir can never merge another run's scores.
+    """
     import os
     import pickle
 
+    n_shards = n_shards or jax.process_count()
     by_name: Dict[str, Dict[str, object]] = {}
     keys = None
-    for fname in sorted(os.listdir(shard_dir)):
-        if not fname.startswith("records_"):
-            continue
-        with open(os.path.join(shard_dir, fname), "rb") as fh:
+    for rank in range(n_shards):
+        path = os.path.join(shard_dir, f"records_{rank:05d}.pkl")
+        assert os.path.exists(path), (
+            f"missing record shard for rank {rank}: {path!r} "
+            f"(expected {n_shards} shards)")
+        with open(path, "rb") as fh:
             shard = pickle.load(fh)
         if keys is None:
             keys = [k for k in shard["records"] if k != "dataset"]

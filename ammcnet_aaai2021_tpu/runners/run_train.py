@@ -62,8 +62,8 @@ def parser_args(argv=None):
                         "(GiB; 0 disables) -- training revisits each frame "
                         "clip_len x epochs times")
     p.add_argument("--backend", default="normal",
-                   choices=["normal", "framepack", "lmdb"],
-                   help="training data backend; framepack/lmdb roots point "
+                   choices=["normal", "framepack"],
+                   help="training data backend; framepack roots point "
                         "at packed files instead of frame trees")
     p.add_argument("--resume", default="",
                    help="run dir (or exp_tag via registry) to resume from: "

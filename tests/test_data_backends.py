@@ -88,8 +88,9 @@ class TestDatasetFactory:
         s = get_dataset("rgb", "training", "framepack", rgb_root=pack_path)
         assert s.batch(2).shape == (2, 32, 32, 15)
 
-    def test_lmdb_backend_gated(self, toydata):
-        pytest.importorskip("lmdb", reason="py-lmdb not installed")
+    def test_lmdb_backend_retired_loudly(self, toydata):
+        with pytest.raises(ValueError, match="framepack"):
+            get_dataset("rgb", "training", "lmdb", rgb_root="/nonexistent")
 
     def test_parallel_batches_deterministic(self, toydata):
         """parallel_batches must yield the exact clips the serial sampler

@@ -28,13 +28,9 @@ ret = main(["--dataset_name", "toydata", "--data_dir", sys.argv[2],
             "--save_dir", sys.argv[3], "--batch_size", "2",
             "--image_size", "32"])
 print("RANK_DONE", jax.process_index(), ret.get("rank", 0), flush=True)
-
-# rendezvous before exit: rank 1 finishes its (smaller) share long before
-# rank 0 completes merge+eval; exiting early would hit the 300s shutdown
-# barrier while rank 0 still works
-from ammcnet_aaai2021_tpu.parallel.multihost import barrier
-
-barrier("worker_done", timeout_ms=1_200_000)
+# no end-of-run barrier needed: the shard merge is collective-free (rank 0
+# polls for shard files), and jax.distributed's own shutdown tolerates the
+# remaining exit skew (merge+eval on these tiny videos is seconds)
 """
 
 
@@ -82,7 +78,10 @@ def test_two_process_eval_matches_single(tmp_path):
         for g, w in zip(got[key], want[key]):
             np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-5)
 
-    # both hosts actually wrote shards
-    shard_dir = os.path.join(save_dir, "record_shards")
-    shards = [f for f in os.listdir(shard_dir) if f.startswith("records_")]
+    # both hosts actually wrote shards (into the fresh per-run subdirectory)
+    shard_root = os.path.join(save_dir, "record_shards")
+    run_dirs = [d for d in os.listdir(shard_root) if d.startswith("run_")]
+    assert len(run_dirs) == 1
+    shards = [f for f in os.listdir(os.path.join(shard_root, run_dirs[0]))
+              if f.startswith("records_")]
     assert len(shards) == 2

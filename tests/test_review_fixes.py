@@ -58,7 +58,7 @@ class TestRecordShardMerge:
                            ["01", "03"])
         monkeypatch.setattr(jax, "process_index", lambda: 1)
         write_record_shard(shard_dir, {k: [full[k][1]] for k in keys}, ["02"])
-        merged = merge_record_shards(shard_dir, names)
+        merged = merge_record_shards(shard_dir, names, n_shards=2)
         for k in keys:
             for a, b in zip(merged[k], full[k]):
                 np.testing.assert_array_equal(a, b)

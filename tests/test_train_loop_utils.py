@@ -51,26 +51,36 @@ class TestPrefetch:
     def test_overlaps_production(self):
         produced = []
 
-        def slow_gen():
+        def gen():
             for i in range(5):
-                time.sleep(0.02)
                 produced.append(i)
                 yield i
 
-        it = prefetch(slow_gen(), depth=2)
+        it = prefetch(gen(), depth=2)
         first = next(it)
-        time.sleep(0.08)  # producer should run ahead while we sleep
         assert first == 0
+        # the producer thread must run ahead of the (idle) consumer; poll
+        # with a deadline instead of a fixed sleep — fixed sleeps flake on
+        # this 1-core machine when the producer thread gets starved
+        deadline = time.monotonic() + 5.0
+        while len(produced) < 3 and time.monotonic() < deadline:
+            time.sleep(0.005)
         assert len(produced) >= 3  # prefetched beyond what we consumed
         assert list(it) == [1, 2, 3, 4]
 
 
 class TestStepTimer:
     def test_fps_accounting(self):
+        # assert the ACCOUNTING (frames / measured step time), not the
+        # accuracy of time.sleep — on a loaded 1-core machine a 10 ms sleep
+        # can take 30+ ms, so bounds must come from our own wall clock
         t = StepTimer(window=10)
+        wall0 = time.perf_counter()
         for _ in range(3):
             with t.step():
                 time.sleep(0.01)
+        wall = time.perf_counter() - wall0
         fps = t.fps(frames_per_step=4)
-        assert 50 < fps < 400  # ~4 / 0.01s, generous bounds
+        upper = 3 * 4 / (0.01 * 3)  # sleeps can only take LONGER than asked
+        assert 0.5 * (3 * 4 / wall) <= fps <= upper * 1.05
         assert "fps/chip" in t.summary(4)
