@@ -297,7 +297,7 @@ def make_otf_flow_extractor(flow_net, flow_vars,
     """
 
     @jax.jit
-    def extract(video_rgb_u8: jax.Array) -> jax.Array:
+    def extract(vars_, video_rgb_u8: jax.Array) -> jax.Array:
         f = video_rgb_u8.astype(jnp.float32)  # FlowNet2SD wants [0,255]
         pairs = jnp.stack([f[:-1], f[1:]], axis=-1)  # (T-1, h, w, 3, 2)
         n = pairs.shape[0]
@@ -305,7 +305,7 @@ def make_otf_flow_extractor(flow_net, flow_vars,
         pad = n_chunks * chunk - n
         pairs = jnp.pad(pairs, ((0, pad), (0, 0), (0, 0), (0, 0), (0, 0)))
         pairs = pairs.reshape(n_chunks, chunk, *pairs.shape[1:])
-        flows = jax.lax.map(lambda p: flow_net.apply(flow_vars, p), pairs)
+        flows = jax.lax.map(lambda p: flow_net.apply(vars_, p), pairs)
         flows = flows.reshape(-1, *flows.shape[2:])[:n]  # (T-1, h, w, 2)
         h, w = flows.shape[1:3]
         if reproduce_flow_bug:
@@ -315,7 +315,9 @@ def make_otf_flow_extractor(flow_net, flow_vars,
             flows = jnp.stack([flows[..., 0] / w, flows[..., 1] / h], axis=-1)
         return flows.astype(jnp.bfloat16)
 
-    return extract
+    # FlowNet weights (~45M params) as program parameters, not 180MB of
+    # baked-in HLO constants (see make_twostream_scorer)
+    return lambda video_rgb_u8: extract(flow_vars, video_rgb_u8)
 
 
 def pad_video_to_bucket(video_rgb_u8: np.ndarray, video_op: np.ndarray,

@@ -71,3 +71,53 @@ class TestRecordShardMerge:
                            {"rgb_img_pred_records": [rng.random(4)]}, ["01"])
         with pytest.raises(AssertionError, match="missing videos"):
             merge_record_shards(str(tmp_path), ["01", "02"])
+
+    def test_stale_higher_rank_shard_ignored(self, tmp_path, rng,
+                                             monkeypatch):
+        """A leftover records_00001.pkl from an earlier 2-host run must not
+        leak into a later single-host merge (the round-2 advisor finding)."""
+        import jax
+
+        from ammcnet_aaai2021_tpu.parallel.multihost import (
+            merge_record_shards, write_record_shard)
+
+        keys = ["rgb_img_pred_records"]
+        stale = {k: [rng.random(5)] for k in keys}
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        write_record_shard(str(tmp_path), stale, ["01"])
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        fresh = {k: [rng.random(5)] for k in keys}
+        write_record_shard(str(tmp_path), fresh, ["01"])
+        merged = merge_record_shards(str(tmp_path), ["01"], n_shards=1)
+        np.testing.assert_array_equal(merged[keys[0]][0], fresh[keys[0]][0])
+
+    def test_wait_for_shards_sees_late_file(self, tmp_path):
+        import threading
+        import time as _time
+
+        from ammcnet_aaai2021_tpu.parallel.multihost import wait_for_shards
+
+        path = tmp_path / "records_00000.pkl"
+
+        def write_late():
+            _time.sleep(0.2)
+            path.write_bytes(b"x")
+
+        t = threading.Thread(target=write_late)
+        t.start()
+        wait_for_shards(str(tmp_path), n_shards=1, timeout_s=10, poll_s=0.05)
+        t.join()
+
+    def test_wait_for_shards_timeout_names_missing_ranks(self, tmp_path):
+        from ammcnet_aaai2021_tpu.parallel.multihost import wait_for_shards
+
+        with pytest.raises(TimeoutError, match=r"\[0, 1\]"):
+            wait_for_shards(str(tmp_path), n_shards=2, timeout_s=0.2,
+                            poll_s=0.05)
+
+    def test_run_token_single_process_is_fresh_hex(self):
+        from ammcnet_aaai2021_tpu.parallel.multihost import agree_on_run_token
+
+        a, b = agree_on_run_token(), agree_on_run_token()
+        assert a != b and len(a) == 32
+        int(a, 16)  # valid hex
