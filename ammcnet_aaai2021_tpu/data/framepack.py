@@ -115,23 +115,38 @@ class FramePackTrainSampler:
 class FramePackTwoStreamSampler:
     """Frame-aligned rgb/op clip pairs over two FramePacks (the framepack
     counterpart of TwoStreamTrainSampler; rgb normalization stays in the jit
-    region, so rgb clips return uint8 unless ``normalize_rgb``)."""
+    region, so rgb clips return uint8 unless ``normalize_rgb``).
+
+    ``packed=True`` returns batches in frame-packed (b, t, h, w, c) layout
+    gathered with ONE fancy-index per stream straight off the mmap — no
+    per-clip transpose/reshape on the host (the strided (h, w, t*c)
+    interleave costs ~2 ms/clip at 256*256; measured 40% of host batch
+    time) — the jitted train step interleaves via an XLA transpose
+    (`train.steps._to_model_range`), effectively free on TPU.  The rng draw
+    sequence is identical in both modes, so a seed produces the same clips
+    either way.
+    """
 
     def __init__(self, rgb_pack: FramePack, op_pack: FramePack,
                  clip_len_rgb: int = 5, clip_len_op: int = 4,
-                 seed: int = 2017, normalize_rgb: bool = True):
+                 seed: int = 2017, normalize_rgb: bool = True,
+                 packed: bool = False):
         self.rgb_pack, self.op_pack = rgb_pack, op_pack
         self.clip_len_rgb, self.clip_len_op = clip_len_rgb, clip_len_op
         self.rng = np.random.default_rng(seed)
         self.normalize_rgb = normalize_rgb
+        self.packed = packed
         self.names = [n for n in rgb_pack.names if n in op_pack.videos]
         assert self.names, "no common sub-videos between the two packs"
 
-    def sample(self) -> Dict[str, np.ndarray]:
+    def _draw(self) -> Tuple[str, int]:
         name = self.names[self.rng.integers(len(self.names))]
         max_off = min(self.rgb_pack.length(name) - self.clip_len_rgb,
                       self.op_pack.length(name) - self.clip_len_op)
-        off = int(self.rng.integers(max_off + 1))
+        return name, int(self.rng.integers(max_off + 1))
+
+    def sample(self) -> Dict[str, np.ndarray]:
+        name, off = self._draw()
         rgb = self.rgb_pack.clip(name, off, self.clip_len_rgb)
         if self.normalize_rgb:
             rgb = (rgb.astype(np.float32) / 255.0 - 0.5) / 0.5
@@ -139,8 +154,23 @@ class FramePackTwoStreamSampler:
                 "op": self.op_pack.clip(name, off, self.clip_len_op)}
 
     def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
-        samples = [self.sample() for _ in range(batch_size)]
-        return {k: np.stack([s[k] for s in samples]) for k in ("rgb", "op")}
+        if not self.packed:
+            samples = [self.sample() for _ in range(batch_size)]
+            return {k: np.stack([s[k] for s in samples])
+                    for k in ("rgb", "op")}
+        coords = [self._draw() for _ in range(batch_size)]
+
+        def gather(pack: FramePack, t: int) -> np.ndarray:
+            starts = np.asarray([pack.videos[name][0] + off
+                                 for name, off in coords])  # (b,)
+            idx = starts[:, None] + np.arange(t)[None, :]   # (b, t)
+            return pack._mm[idx.reshape(-1)].reshape(
+                batch_size, t, *pack.frame_shape)
+
+        rgb = gather(self.rgb_pack, self.clip_len_rgb)
+        if self.normalize_rgb:
+            rgb = (rgb.astype(np.float32) / 255.0 - 0.5) / 0.5
+        return {"rgb": rgb, "op": gather(self.op_pack, self.clip_len_op)}
 
 
 def pack_video_tree(frames_root: str, out_path: str, image_size: int = 256,

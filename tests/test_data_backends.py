@@ -135,6 +135,37 @@ class TestDatasetFactory:
         np.testing.assert_array_equal(
             np.asarray(_to_model_range(got["op"])), want["op"])
 
+    def test_framepack_packed_matches_parity_path(self, toydata, tmp_path):
+        """Framepack's packed (b,t,h,w,c) one-gather batches must produce
+        bit-identical model inputs to its interleaved parity path, with the
+        same rng draw sequence for the same seed."""
+        from ammcnet_aaai2021_tpu.data.framepack import (
+            FramePack, FramePackTwoStreamSampler, pack_video_tree)
+        from ammcnet_aaai2021_tpu.train.steps import _to_model_range
+
+        base = os.path.join(toydata, "toydata", "training")
+        rgb_p = str(tmp_path / "f.fpk")
+        op_p = str(tmp_path / "o.fpk")
+        pack_video_tree(os.path.join(base, "frames"), rgb_p, image_size=32)
+        pack_video_tree(os.path.join(base, "flows"), op_p, image_size=32,
+                        data_type="op")
+        kwargs = dict(clip_len_rgb=5, clip_len_op=4, seed=13)
+        parity = FramePackTwoStreamSampler(FramePack(rgb_p), FramePack(op_p),
+                                           **kwargs)
+        fast = FramePackTwoStreamSampler(FramePack(rgb_p), FramePack(op_p),
+                                         **kwargs, normalize_rgb=False,
+                                         packed=True)
+        want = parity.batch(3)
+        got = fast.batch(3)
+        assert got["rgb"].dtype == np.uint8
+        assert got["rgb"].shape == (3, 5, 32, 32, 3)
+        assert got["op"].shape == (3, 4, 32, 32, 2)
+        np.testing.assert_allclose(
+            np.asarray(_to_model_range(got["rgb"]), np.float32),
+            want["rgb"], atol=1e-7)
+        np.testing.assert_array_equal(
+            np.asarray(_to_model_range(got["op"])), want["op"])
+
     def test_parallel_batches_single_stream(self, toydata):
         from ammcnet_aaai2021_tpu.data.datasets import (
             ClipLoader, SingleStreamTrainSampler, VideoIndex,
