@@ -65,7 +65,12 @@ def make_twostream_scorer(generator, variables,
     # service turns it around faster, and the persistent-cache key is stable
     # across processes regardless of the weights' values
     jitted = jax.jit(score)
-    return lambda rgb_clip, op_clip: jitted(variables, rgb_clip, op_clip)
+
+    def run(rgb_clip, op_clip):
+        return jitted(variables, rgb_clip, op_clip)
+
+    run.jitted, run.variables = jitted, variables  # AOT warm-up hook
+    return run
 
 
 def make_video_scorer(generator, variables,
@@ -129,7 +134,12 @@ def make_video_scorer(generator, variables,
     # weights as program parameters, not HLO constants (see make_twostream_scorer)
     if mesh is None:
         jitted = jax.jit(score_windows)
-        return lambda v_rgb, v_op, idx: jitted(variables, v_rgb, v_op, idx)
+
+        def run(v_rgb, v_op, idx):
+            return jitted(variables, v_rgb, v_op, idx)
+
+        run.jitted, run.variables = jitted, variables  # AOT warm-up hook
+        return run
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     replicated = NamedSharding(mesh, P())
@@ -138,7 +148,12 @@ def make_video_scorer(generator, variables,
         score_windows,
         in_shardings=(replicated, replicated, replicated, batch_sh),
         out_shardings=(batch_sh,) * 4)
-    return lambda v_rgb, v_op, idx: jitted(variables, v_rgb, v_op, idx)
+
+    def run(v_rgb, v_op, idx):
+        return jitted(variables, v_rgb, v_op, idx)
+
+    run.jitted, run.variables = jitted, variables  # AOT warm-up hook
+    return run
 
 
 def make_full_video_scorer(generator, variables,
@@ -205,7 +220,11 @@ def make_full_video_scorer(generator, variables,
         return jnp.transpose(out, (1, 0, 2)).reshape(4, -1)
 
     # weights as program parameters, not HLO constants (see make_twostream_scorer)
-    return lambda v_rgb, v_op: score_video(variables, v_rgb, v_op)
+    def run(v_rgb, v_op):
+        return score_video(variables, v_rgb, v_op)
+
+    run.jitted, run.variables = score_video, variables  # AOT warm-up hook
+    return run
 
 
 def make_multi_video_scorer(generator, variables,
@@ -278,7 +297,11 @@ def make_multi_video_scorer(generator, variables,
         return jnp.transpose(out, (0, 2, 1, 3)).reshape(n, 4, -1)
 
     # weights as program parameters, not HLO constants (see make_twostream_scorer)
-    return lambda rgbs, ops: score_chunk(variables, rgbs, ops)
+    def run(rgbs, ops):
+        return score_chunk(variables, rgbs, ops)
+
+    run.jitted, run.variables = score_chunk, variables  # AOT warm-up hook
+    return run
 
 
 def make_otf_flow_extractor(flow_net, flow_vars,

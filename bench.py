@@ -21,12 +21,16 @@ one device->host sync at the end.
 Determinism discipline (CLAUDE.md): every program this file traces must
 already be in the persistent compile cache (~/.cache/ammcnet_jax) — the
 remote compile service takes 2 s-10 min for the SAME program depending on
-the hour.  Exactly two programs run: `jit(gen.init)` and `jit_score_chunk`.
-If the chunk program is not ready within BENCH_COMPILE_DEADLINE seconds the
-bench degrades to the small cached per-batch scorer (a slower number, never
-a timeout with no output).  Heartbeats go to stderr so a killed run leaves
-a diagnosable tail; the ONE json line
-{"metric", "value", "unit", "vs_baseline"} goes to stdout.
+the hour.  Three cached programs are touched: `jit(gen.init)`,
+`jit_score_chunk`, and the per-batch `jit_score_windows` fallback.  If the
+chunk program is not ready within BENCH_COMPILE_DEADLINE seconds the bench
+degrades to the per-batch scorer (a slower number, never a timeout with no
+output); a warm execute then moves the one-time device program load out of
+the timed passes.  Heartbeats go to stderr so a killed run leaves a
+diagnosable tail; the ONE json line
+{"metric", "value", "unit", "vs_baseline"} goes to stdout — guaranteed by
+a watchdog (budget: median/partial) and an executioner (hard deadline:
+partial or an honest 0.0), whatever state the tunnel is in.
 
 The reported value is the MEDIAN of BENCH_PASSES full passes (default 3) —
 the pipeline must clear the target on a typical pass, not a lucky one.
@@ -59,13 +63,19 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", "6"))
 N_PASSES = int(os.environ.get("BENCH_PASSES", "3"))
 # seconds to wait for the chunk program before degrading to the per-batch
 # scorer; a cache hit takes seconds, only an (unexpected) fresh remote
-# compile can exceed this
-COMPILE_DEADLINE = float(os.environ.get("BENCH_COMPILE_DEADLINE", "240"))
-# total wall budget for the timed passes: when the tunnel degrades (its
-# device<->host bandwidth has been measured anywhere from 930 MB/s to
-# 0.2 MB/s depending on the hour), report the throughput measured so far
-# instead of timing out with no output
-PASS_WALL_BUDGET = float(os.environ.get("BENCH_PASS_WALL_BUDGET", "300"))
+# compile or a badly degraded tunnel can exceed this
+COMPILE_DEADLINE = float(os.environ.get("BENCH_COMPILE_DEADLINE", "210"))
+# total wall budget for the whole bench: whatever setup/warm-up consumed,
+# the timed passes get the REMAINDER (min 60 s) and then the bench reports
+# the median of completed passes or the real partial measurement so far —
+# when the tunnel degrades (device<->host measured anywhere from 930 MB/s
+# to 0.2 MB/s by hour) the JSON line still prints inside a ~600 s driver
+# timeout instead of rc=124 with an empty tail
+TOTAL_WALL_BUDGET = float(os.environ.get("BENCH_TOTAL_WALL_BUDGET", "480"))
+# ZERO_GRACE after the budget, the executioner thread emits unconditionally
+# (real partial rate, or 0.0 for a fully unresponsive tunnel) and exits 0;
+# budget + grace must stay under the driver's timeout
+ZERO_GRACE = float(os.environ.get("BENCH_ZERO_GRACE", "60"))
 
 _T0 = time.perf_counter()
 
@@ -76,22 +86,27 @@ def heartbeat(msg: str) -> None:
 
 
 def synth_ped2_shaped(rng: np.random.Generator):
-    """12 videos of JPEG bytes + flow arrays, ped2-shaped, in RAM."""
+    """12 videos of JPEG bytes + flow arrays, ped2-shaped, in RAM.
+
+    One video's JPEG bytes + one flow stack are synthesized and shared by
+    all 12 videos: per-pass decode/upload/compute cost is identical either
+    way (the pipeline is content-oblivious — every video is still decoded,
+    cast, and uploaded separately in the timed loop), and one-time setup
+    drops 12x (this host's CPU intermittently degrades with the tunnel;
+    synth once measured 145 s — setup time must never eat the driver's
+    run budget)."""
     import cv2
 
-    videos = []
-    for _ in range(NUM_VIDEOS):
-        jpegs = []
-        base = rng.integers(0, 200, (SIZE, SIZE, 3), np.uint8)
-        for t in range(FRAMES_PER_VIDEO):
-            frame = np.roll(base, t, axis=1)
-            ok, buf = cv2.imencode(".jpg", frame)
-            assert ok
-            jpegs.append(buf.tobytes())
-        flows = rng.normal(0, 0.02, (FRAMES_PER_VIDEO - 1, SIZE, SIZE, 2)
-                           ).astype(np.float32)
-        videos.append((jpegs, flows))
-    return videos
+    jpegs = []
+    base = rng.integers(0, 200, (SIZE, SIZE, 3), np.uint8)
+    for t in range(FRAMES_PER_VIDEO):
+        frame = np.roll(base, t, axis=1)
+        ok, buf = cv2.imencode(".jpg", frame)
+        assert ok
+        jpegs.append(buf.tobytes())
+    flows = rng.normal(0, 0.02, (FRAMES_PER_VIDEO - 1, SIZE, SIZE, 2)
+                       ).astype(np.float32)
+    return [(jpegs, flows)] * NUM_VIDEOS
 
 
 def _wait_with_deadline(fn, deadline_s: float, label: str):
@@ -153,53 +168,100 @@ def main() -> None:
 
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=8)
+    # TWO pools: videos fan out on video_pool, frames decode on frame_pool.
+    # One shared pool deadlocks — 12 submitted decode_video tasks occupy
+    # every worker, then each blocks on frame decodes queued behind them
+    # (observed live: a pass that runs in ~90 s stalled at 0 videos for
+    # 580 s until the wall budget fired).  Pool sizes follow the host's
+    # core count: on a 1-core host 12 threads trading the GIL around ~1 ms
+    # cv2 calls convoy catastrophically (measured 219 s for decodes that
+    # run in 2.4 s on one thread); decode parallelism only exists to use
+    # real cores and to overlap the device phase — one thread does both
+    # when one core is all there is.
+    n_cpu = os.cpu_count() or 1
+    video_pool = ThreadPoolExecutor(max_workers=1 if n_cpu <= 2 else 4)
+    frame_pool = (None if n_cpu <= 2 else
+                  ThreadPoolExecutor(max_workers=min(8, n_cpu)))
+
+    def _decode_frame(b):
+        return cv2.cvtColor(
+            cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR),
+            cv2.COLOR_BGR2RGB)
 
     def decode_video(video):
         jpegs, flows = video
-        frames = list(pool.map(
-            lambda b: cv2.cvtColor(
-                cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR),
-                cv2.COLOR_BGR2RGB),
-            jpegs))
+        frames = (list(map(_decode_frame, jpegs)) if frame_pool is None
+                  else list(frame_pool.map(_decode_frame, jpegs)))
         rgb, op, _ = pad_video_to_bucket(np.stack(frames), flows)
         return rgb, op
 
     n_windows = FRAMES_PER_VIDEO - 5 + 1
 
-    # ---- warm-up: the chunk scorer, with a deadline + fallback -----------
-    heartbeat(f"warming chunk scorer (CHUNK={CHUNK}, wb={WINDOW_BATCH}, "
+    # ---- warm-up: AOT-compile BOTH scorer programs in parallel -----------
+    # .lower().compile() is compile-only: no video decode, no uploads, no
+    # chip execution — the deadline bounds exactly the remote compile.  The
+    # chunk and per-batch programs compile concurrently (the remote service
+    # queues them), so a chunk miss falls back to an already-compiling (or
+    # already-cached) per-batch program instead of starting a second wait.
+    # Pass 1 absorbs the one-time program load; the median discards it.
+    import ml_dtypes
+
+    heartbeat(f"AOT-compiling scorers (CHUNK={CHUNK}, wb={WINDOW_BATCH}, "
               f"deadline {COMPILE_DEADLINE:.0f}s)")
     scorer = make_multi_video_scorer(gen, variables,
                                      window_batch=WINDOW_BATCH)
-    warm = [upload_video(*decode_video(videos[i])) for i in range(CHUNK)]
+    batch_scorer = make_video_scorer(gen, variables,
+                                     window_batch=WINDOW_BATCH)
+    t_pad = -(-FRAMES_PER_VIDEO // 64) * 64
+    rgb_sds = jax.ShapeDtypeStruct((t_pad, SIZE, SIZE, 3), jnp.uint8)
+    op_sds = jax.ShapeDtypeStruct((t_pad - 1, SIZE, SIZE, 2),
+                                  ml_dtypes.bfloat16)
 
-    def warm_chunk():
-        out = np.asarray(scorer(tuple(r for r, _ in warm),
-                                tuple(o for _, o in warm)))
-        return out
+    def compile_chunk():
+        return scorer.jitted.lower(variables, (rgb_sds,) * CHUNK,
+                                   (op_sds,) * CHUNK).compile()
 
+    def compile_batch():
+        idx_sds = jax.ShapeDtypeStruct((WINDOW_BATCH,), jnp.int32)
+        return batch_scorer.jitted.lower(variables, rgb_sds, op_sds,
+                                         idx_sds).compile()
+
+    batch_box = {}
+    batch_thread = threading.Thread(
+        target=lambda: batch_box.update(done=compile_batch()),
+        daemon=True, name="compile-batch")
+    batch_thread.start()
     mode = "chunk"
-    if _wait_with_deadline(warm_chunk, COMPILE_DEADLINE, "warm-chunk") is None:
-        # the chunk program missed the deadline (fresh remote compile):
-        # degrade to the small per-batch program — slower, but the bench
-        # still prints a number instead of timing out silently
-        heartbeat("chunk program missed deadline -> falling back to the "
-                  "per-batch scorer")
+    if _wait_with_deadline(compile_chunk, COMPILE_DEADLINE,
+                           "compile-chunk") is None:
+        heartbeat("chunk program missed the compile deadline -> per-batch "
+                  "scorer")
         mode = "batch"
-        scorer = make_video_scorer(gen, variables, window_batch=WINDOW_BATCH)
+        scorer = batch_scorer
+        batch_thread.join(timeout=max(30.0, COMPILE_DEADLINE / 2))
+        if "done" not in batch_box:
+            heartbeat("per-batch program still compiling; proceeding — "
+                      "pass 1 will block on it")
 
-        def warm_batch():
-            return gather_video_scores(*launch_video_scoring(
-                scorer, warm[0][0], warm[0][1], n_windows, WINDOW_BATCH))
+    # One blocked execute on zero inputs moves the one-time program load
+    # onto the chip out of the timed passes (measured: first execute 148 s
+    # vs 13.5 s steady on a degraded tunnel) — every timed pass then runs
+    # steady-state, so even a single completed pass is a fair number.
+    def warm_execute():
+        z_rgb = jnp.zeros((t_pad, SIZE, SIZE, 3), jnp.uint8)
+        z_op = jnp.zeros((t_pad - 1, SIZE, SIZE, 2), jnp.bfloat16)
+        if mode == "chunk":
+            out = scorer((z_rgb,) * CHUNK, (z_op,) * CHUNK)
+        else:
+            out = scorer(z_rgb, z_op, jnp.arange(WINDOW_BATCH,
+                                                 dtype=jnp.int32))
+        jax.block_until_ready(out)
+        return True
 
-        if _wait_with_deadline(warm_batch, COMPILE_DEADLINE,
-                               "warm-batch") is None:
-            # both compiles in flight; block on the batch one — a late
-            # number still beats rc=124 with an empty tail
-            heartbeat("per-batch program also compiling; blocking on it")
-            warm_batch()
-    del warm
+    if _wait_with_deadline(warm_execute, COMPILE_DEADLINE,
+                           "warm-execute") is None:
+        heartbeat("warm execute still in flight; pass 1 will absorb the "
+                  "program load")
     heartbeat(f"warm-up done (mode={mode}); timing {N_PASSES} passes")
 
     class Progress:
@@ -247,19 +309,22 @@ def main() -> None:
         # one dispatch per CHUNK videos (chunk 2's host work overlaps chunk
         # 1's compute).  One stacked fetch per chunk (small: 4 score vectors
         # per video) so progress is observable under tunnel degradation.
-        decoded = [pool.submit(decode_video, v) for v in videos]
+        decoded = [video_pool.submit(decode_video, v) for v in videos]
         launched = []
         for start in range(0, NUM_VIDEOS, CHUNK):
             chunk = [upload_video(*decoded[i].result())
                      for i in range(start, start + CHUNK)]
             launched.append(scorer(tuple(r for r, _ in chunk),
                                    tuple(o for _, o in chunk)))
+            heartbeat(f"  chunk {start // CHUNK + 1} dispatched")
             if len(launched) > 1:  # backpressure: fetch the oldest chunk
                 for scores in np.asarray(launched.pop(0))[:, :, :n_windows]:
                     progress.add(consume(scores))
+                heartbeat("  chunk fetched")
         for res in launched:
             for scores in np.asarray(res)[:, :, :n_windows]:
                 progress.add(consume(scores))
+            heartbeat("  chunk fetched")
         return progress.end_pass()
 
     def run_pass_batch(progress) -> float:
@@ -268,7 +333,7 @@ def main() -> None:
         # oldest video's (small) score vectors before uploading the next —
         # bounded in-flight data keeps a degraded tunnel from serializing a
         # gigabyte of queued uploads ahead of the first result
-        decoded = [pool.submit(decode_video, v) for v in videos]
+        decoded = [video_pool.submit(decode_video, v) for v in videos]
         inflight = []
         for i in range(NUM_VIDEOS):
             v_rgb, v_op = upload_video(*decoded[i].result())
@@ -283,51 +348,115 @@ def main() -> None:
     run_pass = run_pass_chunk if mode == "chunk" else run_pass_batch
     progress = Progress()
 
-    pass_error = []
+    _emit_lock, _emitted = threading.Lock(), []
 
-    def run_all_passes():
-        try:
-            for i in range(N_PASSES):
-                fps_i = run_pass(progress)
-                heartbeat(f"pass {i + 1}/{N_PASSES}: {fps_i:.2f} fps")
-        except Exception as e:  # surfaced by the main thread
-            pass_error.append(e)
-            heartbeat(f"pass failed: {e!r}")
+    def emit(fps: float) -> None:
+        with _emit_lock:  # exactly one JSON line, main thread or watchdog
+            if _emitted:
+                return
+            _emitted.append(fps)
+        print(json.dumps({
+            "metric": "ped2_inference_frames_per_sec_per_chip",
+            "value": round(fps, 2),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(fps / BASELINE_FPS, 2),
+        }), flush=True)
 
-    runner = threading.Thread(target=run_all_passes, daemon=True,
-                              name="bench-passes")
-    runner.start()
-    runner.join(timeout=PASS_WALL_BUDGET)
-    passes, frames, elapsed = progress.snapshot()
-    if passes:
-        fps = statistics.median(passes)
-        if runner.is_alive():
-            heartbeat(f"wall budget hit; reporting median of "
-                      f"{len(passes)} completed pass(es)")
-    elif frames:
-        # tunnel too degraded to finish one pass inside the budget: report
-        # the throughput actually measured so far (real frames / real time)
-        fps = frames / elapsed
-        heartbeat(f"wall budget hit mid-pass; partial measurement: "
-                  f"{frames} frames in {elapsed:.1f}s")
-    else:
-        # not one video came back inside the budget — block for one full
-        # pass; a late number still beats a timeout with no output
-        heartbeat("no progress inside wall budget; blocking on pass 1")
-        runner.join()
+    # Passes run on the MAIN thread (the axon tunnel client's measured-fast
+    # path; probe 2026-08-17: same chunk pattern fetched in 84s main-thread
+    # vs 222s from a worker thread).  The wall budget is enforced by a
+    # watchdog that, once the budget expires AND at least one video has been
+    # scored, emits the JSON from the live progress snapshot and exits the
+    # process — a degraded tunnel degrades the number, never the output.
+    pass_budget = max(60.0, TOTAL_WALL_BUDGET - (time.perf_counter() - _T0))
+    cancelled = threading.Event()  # set when main emits/raises: exactly ONE
+    # JSON line ever prints, even on the transient-retry path
+
+    def micro_measure():
+        """Last resort when the chunk path returned nothing inside the
+        budget: score window batches of one video through the (small,
+        cached) per-batch program, adding REAL frames to progress as each
+        batch lands.  The executioner emits whatever this measured."""
+        rgb, op = decode_video(videos[0])
+        v_rgb, v_op = upload_video(rgb, op)
+        progress.start_pass()
+        for start in range(0, n_windows, WINDOW_BATCH):
+            idx = np.arange(start, min(start + WINDOW_BATCH, n_windows))
+            actual = len(idx)
+            if actual < WINDOW_BATCH:
+                idx = np.pad(idx, (0, WINDOW_BATCH - actual), mode="edge")
+            out = batch_scorer(v_rgb, v_op, jnp.asarray(idx))
+            np.asarray(out[0])
+            progress.add(actual)
+            heartbeat(f"  micro: {start + actual}/{n_windows} windows")
+
+    def watchdog():
+        deadline = time.monotonic() + pass_budget
+        while not cancelled.is_set():
+            remaining = deadline - time.monotonic()
+            time.sleep(min(10.0, remaining) if remaining > 0 else 10.0)
+            if cancelled.is_set():
+                return
+            if time.monotonic() < deadline:
+                continue
+            passes, frames, elapsed = progress.snapshot()
+            if passes:
+                heartbeat(f"wall budget hit; reporting median of "
+                          f"{len(passes)} completed pass(es)")
+                emit(statistics.median(passes))
+                os._exit(0)
+            if frames:
+                # tunnel too degraded to finish one pass inside the budget:
+                # report the real partial measurement (frames seen / time)
+                heartbeat(f"wall budget hit mid-pass; partial measurement: "
+                          f"{frames} frames in {elapsed:.1f}s")
+                emit(frames / elapsed)
+                os._exit(0)
+            # not one video back inside the budget: the executioner emits at
+            # the hard deadline no matter what; meanwhile try the micro
+            # per-batch measurement so it has real frames to report
+            heartbeat("wall budget hit with zero videos scored; micro "
+                      "measurement until the hard deadline")
+            try:
+                micro_measure()
+            except Exception as e:  # executioner still emits at deadline
+                heartbeat(f"micro measurement failed: {e!r}")
+            return
+
+    def executioner():
+        """Absolute output guarantee: ZERO_GRACE after the wall budget, emit
+        whatever progress exists (a real partial rate, or an honest 0.0 for
+        a dead tunnel) and exit 0 — the driver must never see rc=124 with
+        an empty tail again (BENCH_r02)."""
+        time.sleep(pass_budget + ZERO_GRACE)
+        if cancelled.is_set():
+            return
+        passes, frames, elapsed = progress.snapshot()
+        if passes:
+            emit(statistics.median(passes))
+        elif frames and elapsed > 0:
+            heartbeat(f"hard deadline; partial: {frames} frames in "
+                      f"{elapsed:.1f}s")
+            emit(frames / elapsed)
+        else:
+            heartbeat("hard deadline with zero device progress — tunnel "
+                      "unresponsive; emitting 0.0")
+            emit(0.0)
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True, name="watchdog").start()
+    threading.Thread(target=executioner, daemon=True,
+                     name="executioner").start()
+
+    try:
+        for i in range(N_PASSES):
+            fps_i = run_pass(progress)
+            heartbeat(f"pass {i + 1}/{N_PASSES}: {fps_i:.2f} fps")
         passes, _, _ = progress.snapshot()
-        if not passes:
-            raise pass_error[0] if pass_error else RuntimeError(
-                "bench passes produced no results")
-        fps = statistics.median(passes)
-    if pass_error and not passes:
-        raise pass_error[0]
-    print(json.dumps({
-        "metric": "ped2_inference_frames_per_sec_per_chip",
-        "value": round(fps, 2),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 2),
-    }))
+        cancelled.set()
+        emit(statistics.median(passes))
+    finally:
+        cancelled.set()
 
 
 if __name__ == "__main__":
