@@ -201,18 +201,23 @@ _SUBCONFIGS = {
 # * lam_lp_op has no lineage precedent; 1.0 mirrors lam_lp (both are the
 #   same intensity loss, loss_zoo.py:307-350 applies them symmetrically).
 #
-# The dicts below are therefore deliberately identical across datasets —
+# _LINEAGE_LAMBDAS is therefore the one table of lineage values —
 # divergence, if the authors used any, lives only in the unreleased ini.
-# They stay structured per-dataset so users can diverge them the way the
-# ini did; entries override the same-named keys of train_loss_preset's base.
+# TRAIN_LAMBDAS stays structured per-dataset so users can diverge weights
+# the way the ini did; its entries override the same-named base keys in
+# train_loss_preset.
 _LINEAGE_LAMBDAS: Dict[str, Any] = dict(
     l_num=2, alpha_num=1, lam_adv=0.05, lam_lp=1.0, lam_gdl=1.0,
     lam_flow=2.0, lam_latent=0.25, lam_lp_op=1.0)
+# Per-dataset OVERLAYS on _LINEAGE_LAMBDAS (train_loss_preset applies base
+# then this).  Deliberately empty: the lineage uses identical weights for
+# every dataset (see the citation block above), so keeping a second full
+# copy per dataset would only invite silent drift from the base table.
 TRAIN_LAMBDAS: Dict[str, Dict[str, Any]] = {
-    "ped2": dict(_LINEAGE_LAMBDAS),
-    "avenue": dict(_LINEAGE_LAMBDAS),
-    "shanghaitech": dict(_LINEAGE_LAMBDAS),
-    "toydata": dict(_LINEAGE_LAMBDAS),
+    "ped2": {},
+    "avenue": {},
+    "shanghaitech": {},
+    "toydata": {},
 }
 
 # Loss tags whose ini reader takes lam_gdl from the *lam_adv* key — a
@@ -231,9 +236,9 @@ def train_loss_preset(dataset_name: str, loss_tag: str = "twostream_vq",
     for the vq loss tags; pass False for the presumably-intended
     independent GDL weight.
     """
-    base: Dict[str, Any] = dict(l_num=2, alpha_num=1, lam_adv=0.05,
-                                lam_lp=1.0, lam_gdl=1.0, lam_flow=2.0,
-                                lam_latent=0.25, lam_lp_op=1.0)
+    # single source of truth: _LINEAGE_LAMBDAS is the base, TRAIN_LAMBDAS
+    # holds only per-dataset divergences (none in the released lineage)
+    base: Dict[str, Any] = dict(_LINEAGE_LAMBDAS)
     base.update(TRAIN_LAMBDAS.get(dataset_name, {}))
     if reproduce_gdl_key_bug and loss_tag in GDL_READS_ADV_KEY_TAGS:
         base["lam_gdl"] = base["lam_adv"]

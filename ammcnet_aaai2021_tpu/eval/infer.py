@@ -478,7 +478,7 @@ def _compiles_via_remote_service(variables) -> bool:
 
     env = os.environ.get("AMMCNET_REMOTE_COMPILE")
     if env is not None:
-        return env not in ("", "0", "false")
+        return env.strip().lower() not in ("", "0", "false", "no")
     for leaf in jax.tree_util.tree_leaves(variables):
         if isinstance(leaf, jax.Array):
             try:
@@ -486,7 +486,14 @@ def _compiles_via_remote_service(variables) -> bool:
                 return "axon" in dev.client.platform_version
             except Exception:
                 return False
-    return False
+    # No device-committed leaf (checkpoint restores hand back numpy
+    # arrays): probe the default backend the scorer is about to run on
+    # anyway — jax.devices() initializes only that backend, not every
+    # registered one (the trap the old xla_bridge.backends() probe had).
+    try:
+        return "axon" in jax.devices()[0].client.platform_version
+    except Exception:
+        return False
 
 
 def score_dataset(
@@ -674,6 +681,12 @@ def score_dataset(
         if jax.process_index() == 0:
             wait_for_shards(shard_dir)
             result.update(merge_record_shards(shard_dir, all_names))
+            # the per-run run_<token> directory is consumed: remove it so
+            # recurring evals (per-checkpoint watchers) don't accumulate
+            # stale shard pickles under save_dir without bound
+            import shutil as _shutil
+
+            _shutil.rmtree(shard_dir, ignore_errors=True)
     used = time.time() - t0
     fps = total_frames / used if used > 0 else 0.0
     if logger:

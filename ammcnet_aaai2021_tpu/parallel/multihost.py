@@ -137,16 +137,20 @@ def merge_record_shards(shard_dir: str, video_names: Sequence[str],
     keys = None
     for rank in range(n_shards):
         path = os.path.join(shard_dir, f"records_{rank:05d}.pkl")
-        assert os.path.exists(path), (
-            f"missing record shard for rank {rank}: {path!r} "
-            f"(expected {n_shards} shards)")
+        if not os.path.exists(path):
+            # real error, not an assert: must survive python -O
+            raise FileNotFoundError(
+                f"missing record shard for rank {rank}: {path!r} "
+                f"(expected {n_shards} shards)")
         with open(path, "rb") as fh:
             shard = pickle.load(fh)
         if keys is None:
             keys = [k for k in shard["records"] if k != "dataset"]
         for i, name in enumerate(shard["names"]):
             by_name[name] = {k: shard["records"][k][i] for k in keys}
-    assert keys is not None, f"no record shards under {shard_dir!r}"
+    if keys is None:
+        raise RuntimeError(f"no record shards under {shard_dir!r}")
     missing = [n for n in video_names if n not in by_name]
-    assert not missing, f"shards missing videos: {missing}"
+    if missing:
+        raise RuntimeError(f"shards missing videos: {missing}")
     return {k: [by_name[n][k] for n in video_names] for k in keys}

@@ -139,7 +139,6 @@ def main(argv=None) -> dict:
             from ..tools.torch_convert import convert_pth
 
             variables = convert_pth(ckptfile, cfg.net.net_tag)
-            variables = jax.tree.map(jnp.asarray, variables)
         elif ckptfile.endswith(".msgpack"):
             variables = load_msgpack(ckptfile, variables)
         else:
@@ -150,6 +149,12 @@ def main(argv=None) -> dict:
                              **restored["g_state"]}
             else:
                 variables = restored
+        # checkpoint restores hand back host numpy leaves; commit them to
+        # the default device once — otherwise every scorer dispatch
+        # re-uploads the 25M params, and scorer_mode='auto' cannot read
+        # the platform off the weights (it would fall back to probing the
+        # default backend)
+        variables = jax.tree.map(jnp.asarray, variables)
         logger.info("loaded checkpoint %s", ckptfile)
     else:
         logger.warning("no checkpoint: scoring with RANDOM weights (smoke run)")

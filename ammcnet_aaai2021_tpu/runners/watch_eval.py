@@ -39,6 +39,7 @@ def main(argv=None):
 
     enable_compilation_cache()
     import jax
+    import jax.numpy as jnp
 
     from ..configs import FUSION_LAMBDAS
     from ..eval.gt import GroundTruthLoader
@@ -86,6 +87,10 @@ def main(argv=None):
             restored = restore_checkpoint(ckpt_dir, step=step)
             variables = {"params": restored["g_params"],
                          **restored["g_state"]}
+            # commit host numpy leaves to the default device once (see
+            # run_test: scorer dispatch + scorer_mode='auto' both want
+            # device-resident weights)
+            variables = jax.tree.map(jnp.asarray, variables)
             result, fps = score_dataset(
                 gen, variables, rgb_root, op_root, args.dataset_name,
                 clip_len_rgb=cfg.data.clip_length_rgb,

@@ -85,6 +85,56 @@ def heartbeat(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
+# ---- output guarantee, process-wide ------------------------------------
+# emit() prints the ONE json line exactly once across every thread (main,
+# watchdog, executioner, early guard) and across the transient-retry path.
+_EMIT_LOCK = threading.Lock()
+_EMITTED: list = []
+# main() parks its live (progress, micro_progress) pair here so the early
+# guard can report real partial data even for a hang it didn't anticipate
+_PROGRESS_REF: list = []
+
+
+def emit(fps: float) -> None:
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED.append(fps)
+    print(json.dumps({
+        "metric": "ped2_inference_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }), flush=True)
+
+
+def _early_guard() -> None:
+    """Covers the window the in-main watchdog/executioner cannot: a tunnel
+    hang during import/init/warm-up, BEFORE those threads exist (and during
+    the transient retry's setup).  At the absolute deadline, emit the best
+    real data available — or an honest 0.0 — and exit 0; the driver must
+    never see rc=124 with no JSON line."""
+    deadline = _T0 + TOTAL_WALL_BUDGET + ZERO_GRACE + 30.0
+    while True:
+        time.sleep(max(1.0, min(30.0, deadline - time.perf_counter())))
+        if _EMITTED:
+            return
+        if time.perf_counter() < deadline:
+            continue
+        for prog in _PROGRESS_REF:
+            passes, frames, elapsed = prog.snapshot()
+            if passes:
+                emit(statistics.median(passes))
+                os._exit(0)
+            if frames and elapsed > 0:
+                emit(frames / elapsed)
+                os._exit(0)
+        heartbeat("absolute deadline during setup/retry with no progress; "
+                  "emitting 0.0")
+        emit(0.0)
+        os._exit(0)
+
+
 def synth_ped2_shaped(rng: np.random.Generator):
     """12 videos of JPEG bytes + flow arrays, ped2-shaped, in RAM.
 
@@ -348,20 +398,6 @@ def main() -> None:
     run_pass = run_pass_chunk if mode == "chunk" else run_pass_batch
     progress = Progress()
 
-    _emit_lock, _emitted = threading.Lock(), []
-
-    def emit(fps: float) -> None:
-        with _emit_lock:  # exactly one JSON line, main thread or watchdog
-            if _emitted:
-                return
-            _emitted.append(fps)
-        print(json.dumps({
-            "metric": "ped2_inference_frames_per_sec_per_chip",
-            "value": round(fps, 2),
-            "unit": "frames/sec/chip",
-            "vs_baseline": round(fps / BASELINE_FPS, 2),
-        }), flush=True)
-
     # Passes run on the MAIN thread (the axon tunnel client's measured-fast
     # path; probe 2026-08-17: same chunk pattern fetched in 84s main-thread
     # vs 222s from a worker thread).  The wall budget is enforced by a
@@ -372,14 +408,20 @@ def main() -> None:
     cancelled = threading.Event()  # set when main emits/raises: exactly ONE
     # JSON line ever prints, even on the transient-retry path
 
+    # the micro path gets its OWN Progress: it must never reset the main
+    # pass's t0/frames (a stalled-then-recovered main pass would otherwise
+    # report frames over the post-reset elapsed time — inflated fps)
+    micro_progress = Progress()
+    _PROGRESS_REF[:] = [progress, micro_progress]  # early guard visibility
+
     def micro_measure():
         """Last resort when the chunk path returned nothing inside the
         budget: score window batches of one video through the (small,
-        cached) per-batch program, adding REAL frames to progress as each
-        batch lands.  The executioner emits whatever this measured."""
+        cached) per-batch program, adding REAL frames to micro_progress as
+        each batch lands.  The executioner emits whatever this measured."""
         rgb, op = decode_video(videos[0])
         v_rgb, v_op = upload_video(rgb, op)
-        progress.start_pass()
+        micro_progress.start_pass()
         for start in range(0, n_windows, WINDOW_BATCH):
             idx = np.arange(start, min(start + WINDOW_BATCH, n_windows))
             actual = len(idx)
@@ -387,7 +429,7 @@ def main() -> None:
                 idx = np.pad(idx, (0, WINDOW_BATCH - actual), mode="edge")
             out = batch_scorer(v_rgb, v_op, jnp.asarray(idx))
             np.asarray(out[0])
-            progress.add(actual)
+            micro_progress.add(actual)
             heartbeat(f"  micro: {start + actual}/{n_windows} windows")
 
     def watchdog():
@@ -432,12 +474,17 @@ def main() -> None:
         if cancelled.is_set():
             return
         passes, frames, elapsed = progress.snapshot()
+        m_passes, m_frames, m_elapsed = micro_progress.snapshot()
         if passes:
             emit(statistics.median(passes))
         elif frames and elapsed > 0:
             heartbeat(f"hard deadline; partial: {frames} frames in "
                       f"{elapsed:.1f}s")
             emit(frames / elapsed)
+        elif m_frames and m_elapsed > 0:
+            heartbeat(f"hard deadline; micro measurement: {m_frames} "
+                      f"frames in {m_elapsed:.1f}s")
+            emit(m_frames / m_elapsed)
         else:
             heartbeat("hard deadline with zero device progress — tunnel "
                       "unresponsive; emitting 0.0")
@@ -460,6 +507,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    threading.Thread(target=_early_guard, daemon=True,
+                     name="early-guard").start()
     try:
         main()
     except Exception as e:  # retry ONLY transient tunnel/RPC failures —

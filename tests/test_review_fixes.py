@@ -69,7 +69,7 @@ class TestRecordShardMerge:
 
         write_record_shard(str(tmp_path),
                            {"rgb_img_pred_records": [rng.random(4)]}, ["01"])
-        with pytest.raises(AssertionError, match="missing videos"):
+        with pytest.raises(RuntimeError, match="missing videos"):
             merge_record_shards(str(tmp_path), ["01", "02"])
 
     def test_stale_higher_rank_shard_ignored(self, tmp_path, rng,
