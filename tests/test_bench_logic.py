@@ -1,0 +1,87 @@
+"""Host-side logic of bench.py (no device): the output-guarantee machinery.
+
+The driver consumes exactly one JSON line from bench's stdout; these tests
+pin the exactly-once emit contract, the deadline helper, and the synth
+data's shape so bench regressions surface in the CPU suite instead of in a
+driver run on the real chip.
+"""
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+import bench
+
+
+@pytest.fixture(autouse=True)
+def _reset_emit_state():
+    bench._EMITTED.clear()
+    bench._PROGRESS_REF.clear()
+    yield
+    bench._EMITTED.clear()
+    bench._PROGRESS_REF.clear()
+
+
+class TestEmit:
+    def test_one_json_line_with_required_fields(self, capsys):
+        bench.emit(88.0)
+        line = capsys.readouterr().out.strip()
+        d = json.loads(line)
+        assert set(d) == {"metric", "value", "unit", "vs_baseline"}
+        assert d["value"] == 88.0
+        assert d["vs_baseline"] == round(88.0 / bench.BASELINE_FPS, 2)
+
+    def test_exactly_once_across_callers(self, capsys):
+        bench.emit(10.0)
+        bench.emit(99.0)  # watchdog/executioner racing main: ignored
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 1
+        assert json.loads(out[0])["value"] == 10.0
+
+    def test_threaded_race_emits_once(self, capsys):
+        import threading
+
+        ts = [threading.Thread(target=bench.emit, args=(float(i),))
+              for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(capsys.readouterr().out.strip().splitlines()) == 1
+
+
+class TestWaitWithDeadline:
+    def test_returns_result(self):
+        assert bench._wait_with_deadline(lambda: 42, 5.0, "t") == 42
+
+    def test_none_after_deadline(self):
+        t0 = time.perf_counter()
+        r = bench._wait_with_deadline(lambda: time.sleep(30), 0.2, "t")
+        assert r is None
+        assert time.perf_counter() - t0 < 5.0
+
+    def test_propagates_error(self):
+        def boom():
+            raise ValueError("x")
+
+        with pytest.raises(ValueError):
+            bench._wait_with_deadline(boom, 5.0, "t")
+
+
+def test_synth_shares_one_encoded_video():
+    """Setup cost must stay O(1 video): all 12 entries alias one
+    (jpegs, flows) pair (the timed loop still decodes/uploads each)."""
+    videos = bench.synth_ped2_shaped(np.random.default_rng(0))
+    assert len(videos) == bench.NUM_VIDEOS
+    assert all(v is videos[0] for v in videos)
+    jpegs, flows = videos[0]
+    assert len(jpegs) == bench.FRAMES_PER_VIDEO
+    assert flows.shape == (bench.FRAMES_PER_VIDEO - 1, bench.SIZE,
+                           bench.SIZE, 2)
+    import cv2
+
+    frame = cv2.imdecode(np.frombuffer(jpegs[0], np.uint8),
+                         cv2.IMREAD_COLOR)
+    assert frame.shape == (bench.SIZE, bench.SIZE, 3)
