@@ -65,9 +65,6 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", "6"))
 # on many steady-state samples instead of 3 fixed ones; a single pass can
 # catch a transient 300 s tunnel stall) and reports the median
 N_PASSES = int(os.environ.get("BENCH_PASSES", "12"))
-# always attempt at least this many passes even if the budget is spent
-# (the watchdog/executioner still bound total wall time)
-MIN_PASSES = int(os.environ.get("BENCH_MIN_PASSES", "1"))
 # seconds to wait for the chunk program before degrading to the per-batch
 # scorer; a cache hit takes seconds, only an (unexpected) fresh remote
 # compile or a badly degraded tunnel can exceed this
@@ -503,22 +500,13 @@ def main() -> None:
                      name="executioner").start()
 
     try:
+        # keep attempting passes until the cap — the watchdog owns the
+        # budget, and an extra attempt can only ADD a completed pass to
+        # the median (an unfinished one is simply not counted), so there
+        # is nothing to gain by stopping early
         for i in range(N_PASSES):
             fps_i = run_pass(progress)
             heartbeat(f"pass {i + 1} (cap {N_PASSES}): {fps_i:.2f} fps")
-            # start another full pass only if it plausibly fits: budget
-            # remainder must cover the fastest pass seen so far (the
-            # watchdog would otherwise cut a pass mid-flight and discard
-            # its frames from the median)
-            done = i + 1
-            if done >= MIN_PASSES:
-                remaining = TOTAL_WALL_BUDGET - (time.perf_counter() - _T0)
-                fastest = NUM_VIDEOS * FRAMES_PER_VIDEO / max(
-                    progress.snapshot()[0] + [1e-9])
-                if remaining < fastest * 1.2:
-                    heartbeat(f"budget remainder {remaining:.0f}s < next "
-                              "pass estimate; stopping")
-                    break
         passes, _, _ = progress.snapshot()
         cancelled.set()
         emit(statistics.median(passes))
