@@ -1,0 +1,118 @@
+"""Device-resident pipeline ceiling: windows/s with zero host transfers.
+
+``bench.py`` measures the full serving path (JPEG decode + upload +
+score), which in this environment is bounded by the axon tunnel's
+oscillating transfer bandwidth (PERF.md).  This tool measures the number
+that projects to co-located hardware: the fused score pipeline's rate when
+the videos already live in HBM — window assembly + normalize + two-stream
+forward + memory addressing + PSNR/commit scoring via the same
+``jit_score_chunk`` program the bench runs, on data GENERATED ON DEVICE
+(one tiny jitted PRNG program; no uploads), with one 18 KB result fetch
+per pass as the execution barrier.
+
+Replaces the reference's per-frame-synced GPU loop measurement
+(``Code/run_helper/test_helper.py:387-488``, 17.597 fps wall-clock) at the
+other extreme: what the chip itself sustains.
+
+Prints one JSON line {"metric": "device_resident_frames_per_sec", ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--chunk", type=int, default=6,
+                   help="videos per jit dispatch (bench.py default: 6)")
+    p.add_argument("--frames", type=int, default=192,
+                   help="bucket-padded frames per video")
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--window_batch", type=int, default=64)
+    p.add_argument("--passes", type=int, default=5)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from ..configs import NetConfig
+    from ..eval.infer import make_multi_video_scorer
+    from ..models import build_generator
+
+    t0 = time.perf_counter()
+
+    def hb(msg):
+        print(f"[device_bench +{time.perf_counter() - t0:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    cfg = NetConfig()  # released config: bf16 compute + Pallas memory
+    gen = build_generator(cfg, per_sample_diff=True)
+    variables = jax.jit(gen.init)(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, args.size, args.size, 12)),
+        jnp.zeros((1, args.size, args.size, 6)))
+    jax.block_until_ready(variables)
+    hb("model ready")
+
+    @jax.jit
+    def synth(key):
+        # random (not zeros): constant-foldable inputs could let XLA skip
+        # real work; PRNG generation runs once on device, outside timing
+        k1, k2 = jax.random.split(key)
+        rgb = jax.random.randint(
+            k1, (args.frames, args.size, args.size, 3), 0, 255, jnp.uint8)
+        op = (jax.random.normal(
+            k2, (args.frames - 1, args.size, args.size, 2)) * 0.02
+        ).astype(jnp.bfloat16)
+        return rgb, op
+
+    videos = [synth(jax.random.PRNGKey(i)) for i in range(args.chunk)]
+    jax.block_until_ready(videos)
+    hb(f"{args.chunk} videos generated on device")
+
+    import numpy as np
+
+    scorer = make_multi_video_scorer(gen, variables,
+                                     window_batch=args.window_batch)
+    rgbs = tuple(r for r, _ in videos)
+    ops = tuple(o for _, o in videos)
+    # warm execute: absorbs compile (persistent cache) + program load.
+    # The barrier MUST be a result fetch: this environment's
+    # block_until_ready acks without waiting for execution (verified —
+    # it timed a 93-GMAC-per-window program at 0.0005 s)
+    np.asarray(scorer(rgbs, ops))
+    hb("warm execute done (fetch barrier)")
+
+    n_windows = args.frames - 5 + 1
+    frames_per_pass = args.chunk * args.frames
+    rates = []
+    for i in range(args.passes):
+        t = time.perf_counter()
+        np.asarray(scorer(rgbs, ops))  # 18 KB fetch = execution barrier
+        dt = time.perf_counter() - t
+        rates.append(frames_per_pass / dt)
+        hb(f"pass {i + 1}/{args.passes}: {dt:.3f}s "
+           f"({args.chunk * n_windows / dt:.0f} windows/s)")
+    fps = statistics.median(rates)
+    print(json.dumps({
+        "metric": "device_resident_frames_per_sec",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "windows_per_sec": round(fps / frames_per_pass
+                                 * args.chunk * n_windows, 1),
+        "config": {"chunk": args.chunk, "frames": args.frames,
+                   "size": args.size, "window_batch": args.window_batch},
+    }))
+
+
+if __name__ == "__main__":
+    main()

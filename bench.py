@@ -297,10 +297,12 @@ def main() -> None:
             heartbeat("per-batch program still compiling; proceeding — "
                       "pass 1 will block on it")
 
-    # One blocked execute on zero inputs moves the one-time program load
-    # onto the chip out of the timed passes (measured: first execute 148 s
-    # vs 13.5 s steady on a degraded tunnel) — every timed pass then runs
-    # steady-state, so even a single completed pass is a fair number.
+    # One completed execute on zero inputs moves the one-time program load
+    # onto the chip out of the timed passes (measured: first execute
+    # 119-148 s vs ~10 s steady on a degraded tunnel).  The barrier MUST
+    # be a result fetch — this environment's block_until_ready acks
+    # without waiting for execution (or delivery), which is why earlier
+    # "warm executes" finished in 1 s and pass 1 still paid the load.
     def warm_execute():
         z_rgb = jnp.zeros((t_pad, SIZE, SIZE, 3), jnp.uint8)
         z_op = jnp.zeros((t_pad - 1, SIZE, SIZE, 2), jnp.bfloat16)
@@ -309,7 +311,7 @@ def main() -> None:
         else:
             out = scorer(z_rgb, z_op, jnp.arange(WINDOW_BATCH,
                                                  dtype=jnp.int32))
-        jax.block_until_ready(out)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])  # tiny fetch barrier
         return True
 
     if _wait_with_deadline(warm_execute, COMPILE_DEADLINE,
