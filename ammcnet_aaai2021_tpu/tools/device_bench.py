@@ -33,7 +33,9 @@ def main(argv=None) -> None:
     p.add_argument("--frames", type=int, default=192,
                    help="bucket-padded frames per video")
     p.add_argument("--size", type=int, default=256)
-    p.add_argument("--window_batch", type=int, default=64)
+    p.add_argument("--window_batch", type=int, default=192,
+                   help="windows per batch; 192 = whole padded video in "
+                        "one batch (745 windows/s vs 584 at 64)")
     p.add_argument("--passes", type=int, default=5)
     args = p.parse_args(argv)
 

@@ -52,11 +52,12 @@ BASELINE_FPS = 17.597  # reference ped2 inference fps (BASELINE.md)
 NUM_VIDEOS = 12
 FRAMES_PER_VIDEO = 180
 SIZE = 256
-# overridable: larger batches cut per-window overhead (64 measured 590
-# windows/s device-resident vs 249 at 32); keep to shapes already in the
-# persistent compile cache — this environment's remote compile service is
-# high-variance
-WINDOW_BATCH = int(os.environ.get("BENCH_WINDOW_BATCH", "64"))
+# overridable: larger batches cut per-window overhead — device-resident
+# sweep (tools/device_bench.py, fetch-barriered): 584 windows/s at 64,
+# 612 at 128, 745 at 192 (= the whole padded video in ONE batch, no
+# lax.map iteration).  Keep to shapes already in the persistent compile
+# cache — this environment's remote compile service is high-variance
+WINDOW_BATCH = int(os.environ.get("BENCH_WINDOW_BATCH", "192"))
 # videos per jit dispatch: 6 -> a 12-video pass is 2 dispatches, and the
 # second chunk's decode/upload overlaps the first chunk's compute
 CHUNK = int(os.environ.get("BENCH_CHUNK", "6"))
