@@ -505,6 +505,7 @@ def score_dataset(
     clip_len_rgb: int = 5,
     clip_len_op: int = 4,
     batch_size: int = 16,
+    window_batch: Optional[int] = None,
     image_size: int = 256,
     reproduce_flow_bug: bool = True,
     logger=None,
@@ -545,15 +546,24 @@ def score_dataset(
         # the tunnel client on every rank even for CPU-only evaluation).
         scorer_mode = ("batch" if _compiles_via_remote_service(variables)
                        else "video")
+    # window_batch is the per-dispatch performance knob, decoupled from
+    # batch_size (the reference's DataLoader/record-granularity semantic,
+    # still used by batch_commit): a whole bucket of windows per batch is
+    # 27% faster device-resident (745 vs 584 windows/s, PERF.md) and the
+    # scores are independent of batching.  None -> one bucket per batch
+    # for the whole-video scorer; batch_size for the per-batch scorer
+    # (whose dispatch count is the point of its small program).
+    if window_batch is None:
+        window_batch = 192 if scorer_mode == "video" else batch_size
     if scorer_mode == "video":
         scorer = make_full_video_scorer(
             generator, variables, clip_len_rgb, clip_len_op,
-            window_batch=batch_size, metric=metric,
+            window_batch=window_batch, metric=metric,
             reproduce_op_psnr_bug=reproduce_op_psnr_bug)
     elif scorer_mode == "batch":
         scorer = make_video_scorer(
             generator, variables, clip_len_rgb, clip_len_op,
-            window_batch=batch_size, metric=metric,
+            window_batch=window_batch, metric=metric,
             reproduce_op_psnr_bug=reproduce_op_psnr_bug)
     else:
         raise ValueError(f"unknown scorer_mode {scorer_mode!r} "
@@ -643,7 +653,7 @@ def score_dataset(
             launched = scorer(v_rgb, v_op)  # ONE async dispatch
         else:
             launched = launch_video_scoring(scorer, v_rgb, v_op, n_windows,
-                                            batch_size)  # async dispatches
+                                            window_batch)  # async dispatches
         if vi + 1 < len(names):
             current = upload_next(next_decoded.result())
             if vi + 2 < len(names):

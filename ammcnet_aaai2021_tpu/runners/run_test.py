@@ -37,7 +37,13 @@ def parser_args(argv=None):
                    help="resolve run dir + train-time config from the registry")
     p.add_argument("--registry", default="runs/registry.json")
     p.add_argument("--save_dir", default="eval_out")
-    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="record granularity (reference DataLoader batch; "
+                        "used by --batch_commit and the per-batch scorer)")
+    p.add_argument("--window_batch", type=int, default=0,
+                   help="windows per device dispatch (0 = auto: whole "
+                        "bucket for the video scorer, batch_size for the "
+                        "per-batch scorer); scores are batching-invariant")
     p.add_argument("--eval_type", default="img_pred_fea_comm_rgb_auc",
                    choices=["img_pred_fea_comm_rgb_auc",
                             "precision_recall_auc", "compute_eer"],
@@ -186,7 +192,8 @@ def main(argv=None) -> dict:
         gen, variables, rgb_root, op_root, args.dataset_name,
         clip_len_rgb=cfg.data.clip_length_rgb,
         clip_len_op=cfg.data.clip_length_op,
-        batch_size=args.batch_size, image_size=size,
+        batch_size=args.batch_size,
+        window_batch=args.window_batch or None, image_size=size,
         reproduce_flow_bug=not args.fix_flow_bug, logger=logger,
         flow_extractor=flow_extractor, metric=args.metric,
         batch_commit=args.batch_commit,
