@@ -209,10 +209,14 @@ def make_full_video_scorer(generator, variables,
     def score_video(vars_, video_rgb_u8: jax.Array,
                     video_op: jax.Array) -> jax.Array:
         n_windows = video_rgb_u8.shape[0] - clip_len_rgb + 1
-        n_batches = -(-n_windows // window_batch)
+        # clamp to the traced video's window count (shapes are static per
+        # trace): window_batch=192 on a 64-frame bucket would otherwise
+        # run a 192-window batch that is ~3x duplicate forwards
+        wb = min(window_batch, n_windows)
+        n_batches = -(-n_windows // wb)
         # window starts padded by clamping into range (duplicates trimmed host-side)
-        starts = jnp.minimum(jnp.arange(n_batches * window_batch),
-                             n_windows - 1).reshape(n_batches, window_batch)
+        starts = jnp.minimum(jnp.arange(n_batches * wb),
+                             n_windows - 1).reshape(n_batches, wb)
         out = jax.lax.map(
             lambda idx: score_batch(vars_, video_rgb_u8, video_op, idx),
             starts)
@@ -471,14 +475,32 @@ def _assemble_records(scores: np.ndarray, num_frame: int,
 
 def _compiles_via_remote_service(variables) -> bool:
     """True when programs for ``variables``' device compile through a remote
-    service (the experimental 'axon' TPU tunnel).  Uses only public device
-    attributes of arrays that are ALREADY committed to a device, so no
-    backend gets force-initialized (env override: AMMCNET_REMOTE_COMPILE)."""
+    service (the experimental 'axon' TPU tunnel).  Probe order: env
+    override AMMCNET_REMOTE_COMPILE, the jax_default_device pin (decides
+    jit placement; read without initializing any backend), device-committed
+    leaves of ``variables``, and only as a last resort the default backend
+    (which does initialize it — the backend the scorer is about to use
+    anyway)."""
     import os
 
     env = os.environ.get("AMMCNET_REMOTE_COMPILE")
     if env is not None:
         return env.strip().lower() not in ("", "0", "false", "no")
+    # a jax_default_device pin decides placement for everything jit runs
+    # (and is how CPU work is pinned in this environment, where
+    # JAX_PLATFORMS=cpu is inert) — read it WITHOUT initializing any
+    # backend; the pinned Device object's client already exists
+    try:
+        pinned = jax.config.jax_default_device
+    except Exception:
+        pinned = None
+    if pinned is not None:
+        if isinstance(pinned, str):  # platform name form of the pin
+            return "axon" in pinned
+        try:
+            return "axon" in pinned.client.platform_version
+        except Exception:
+            return False
     for leaf in jax.tree_util.tree_leaves(variables):
         if isinstance(leaf, jax.Array):
             try:
@@ -486,9 +508,9 @@ def _compiles_via_remote_service(variables) -> bool:
                 return "axon" in dev.client.platform_version
             except Exception:
                 return False
-    # No device-committed leaf (checkpoint restores hand back numpy
-    # arrays): probe the default backend the scorer is about to run on
-    # anyway — jax.devices() initializes only that backend, not every
+    # No pin and no device-committed leaf (checkpoint restores hand back
+    # numpy arrays): probe the default backend the scorer is about to run
+    # on anyway — jax.devices() initializes only that backend, not every
     # registered one (the trap the old xla_bridge.backends() probe had).
     try:
         return "axon" in jax.devices()[0].client.platform_version
@@ -540,10 +562,12 @@ def score_dataset(
         # default on co-located hardware; fall back to the small per-batch
         # program when compiles go through a remote service (the 'axon'
         # tunnel in this environment), where the larger lax.map program can
-        # take arbitrarily long to compile.  Probed from the device the
-        # model variables already live on (public API, initializes no
-        # backend — calling xla_bridge.backends() here would force-create
-        # the tunnel client on every rank even for CPU-only evaluation).
+        # take arbitrarily long to compile.  Probed from the
+        # jax_default_device pin or the device the model variables already
+        # live on (public APIs, initialize no backend; only the
+        # no-pin-no-device-leaf last resort touches the default backend —
+        # calling xla_bridge.backends() here would force-create the tunnel
+        # client on every rank even for CPU-only evaluation).
         scorer_mode = ("batch" if _compiles_via_remote_service(variables)
                        else "video")
     # window_batch is the per-dispatch performance knob, decoupled from

@@ -101,16 +101,19 @@ _PROGRESS_REF: list = []
 
 
 def emit(fps: float) -> None:
+    # print INSIDE the lock: losing emitters (watchdog/executioner/early
+    # guard) call os._exit right after their no-op emit, and that no-op
+    # must not return until the winner's line has actually been flushed
     with _EMIT_LOCK:
         if _EMITTED:
             return
         _EMITTED.append(fps)
-    print(json.dumps({
-        "metric": "ped2_inference_frames_per_sec_per_chip",
-        "value": round(fps, 2),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 2),
-    }), flush=True)
+        print(json.dumps({
+            "metric": "ped2_inference_frames_per_sec_per_chip",
+            "value": round(fps, 2),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(fps / BASELINE_FPS, 2),
+        }), flush=True)
 
 
 def _early_guard() -> None:
@@ -438,6 +441,9 @@ def main() -> None:
             np.asarray(out[0])
             micro_progress.add(actual)
             heartbeat(f"  micro: {start + actual}/{n_windows} windows")
+        # record the finished micro pass so the executioner reports its
+        # real rate, not frames diluted over idle time until the deadline
+        micro_progress.end_pass()
 
     def watchdog():
         deadline = time.monotonic() + pass_budget
@@ -488,6 +494,10 @@ def main() -> None:
             heartbeat(f"hard deadline; partial: {frames} frames in "
                       f"{elapsed:.1f}s")
             emit(frames / elapsed)
+        elif m_passes:
+            heartbeat(f"hard deadline; completed micro measurement: "
+                      f"{m_passes[-1]:.2f} fps")
+            emit(m_passes[-1])
         elif m_frames and m_elapsed > 0:
             heartbeat(f"hard deadline; micro measurement: {m_frames} "
                       f"frames in {m_elapsed:.1f}s")
