@@ -344,7 +344,11 @@ def make_otf_flow_extractor(flow_net, flow_vars,
 
     # FlowNet weights (~45M params) as program parameters, not 180MB of
     # baked-in HLO constants (see make_twostream_scorer)
-    return lambda video_rgb_u8: extract(flow_vars, video_rgb_u8)
+    def run(video_rgb_u8):
+        return extract(flow_vars, video_rgb_u8)
+
+    run.jitted, run.variables = extract, flow_vars  # AOT warm-up hook
+    return run
 
 
 def pad_video_to_bucket(video_rgb_u8: np.ndarray, video_op: np.ndarray,

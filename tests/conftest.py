@@ -12,9 +12,19 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective" not in flags:
+    # XLA:CPU collectives CHECK-abort the whole process ("Termination
+    # timeout for ... exceeded. Exiting to ensure a consistent program
+    # state") when the 8 virtual-device threads don't all reach a
+    # rendezvous in time.  This 1-core host degrades by the hour (CLAUDE.md)
+    # — observed live 2026-08-17: test_pjit_step_over_mesh aborted mid-suite
+    # at 98% system CPU.  Generous timeouts turn a slow host into a slow
+    # test instead of a dead suite.
+    flags += (" --xla_cpu_collective_timeout_seconds=1200"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402

@@ -284,3 +284,28 @@ class TestOnTheFlyFlow:
         f = np.asarray(flows, np.float32)
         np.testing.assert_allclose(f[..., 1], f[..., 0] / size,
                                    rtol=1e-2, atol=1e-6)
+
+    def test_extractor_aot_hooks(self, rng):
+        """bench.py AOT-warms the extract program via the .jitted/.variables
+        hooks (compile-only under a deadline); pin the contract and that the
+        lowered program matches the eager path."""
+        import jax
+        import jax.numpy as jnp
+
+        from ammcnet_aaai2021_tpu.eval.infer import make_otf_flow_extractor
+        from ammcnet_aaai2021_tpu.models.flownet_sd import FlowNet2SD
+
+        flownet = FlowNet2SD(dtype=jnp.float32)
+        size = 64
+        flow_vars = flownet.init({"params": jax.random.PRNGKey(0)},
+                                 jnp.zeros((1, size, size, 3, 2)))
+        ex = make_otf_flow_extractor(flownet, flow_vars, True, chunk=4)
+        video = jnp.asarray(
+            rng.integers(0, 255, (9, size, size, 3), np.uint8))
+        fv_sds = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), ex.variables)
+        compiled = ex.jitted.lower(
+            fv_sds, jax.ShapeDtypeStruct(video.shape, video.dtype)).compile()
+        np.testing.assert_array_equal(
+            np.asarray(compiled(ex.variables, video), np.float32),
+            np.asarray(ex(video), np.float32))
