@@ -53,6 +53,44 @@ def test_multi_video_scorer_matches_per_batch(rng):
                                        rtol=1e-5, atol=1e-5)
 
 
+def test_otf_extractor_feeds_chunk_scorer(rng):
+    """The exact bench.py OTF chain: uploaded u8 frames -> FlowNet-SD
+    extract on device -> multi-video chunk scorer.  Pins the handoff's
+    shape/dtype contract (extract of a bucket-padded T-frame video must be
+    a (T-1, h, w, 2) bf16 the chunk scorer accepts) and that scoring
+    FlowNet flows equals scoring the same flows fed as precomputed arrays."""
+    from ammcnet_aaai2021_tpu.eval.infer import make_otf_flow_extractor
+    from ammcnet_aaai2021_tpu.models.flownet_sd import FlowNet2SD
+
+    cfg = NetConfig(dtype="float32", use_pallas_memory=False, n_embed=32)
+    gen = build_generator(cfg, per_sample_diff=True)
+    size = 64  # smallest FlowNetSD-compatible resolution
+    variables = gen.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((1, size, size, 12)),
+                         jnp.zeros((1, size, size, 6)))
+    flownet = FlowNet2SD(dtype=jnp.float32)
+    flow_vars = flownet.init({"params": jax.random.PRNGKey(1)},
+                             jnp.zeros((1, size, size, 3, 2)))
+    extractor = make_otf_flow_extractor(flownet, flow_vars, chunk=4)
+
+    t, bucket, wb = 14, 16, 8
+    videos = [rng.integers(0, 255, (t, size, size, 3), np.uint8)
+              for _ in range(2)]
+    rgbs = tuple(jnp.asarray(
+        pad_video_to_bucket(v, np.zeros((t - 1, 1, 1, 2), np.float32),
+                            bucket=bucket)[0]) for v in videos)
+    flows = tuple(extractor(r) for r in rgbs)
+    assert all(f.shape == (bucket - 1, size, size, 2) and
+               f.dtype == jnp.bfloat16 for f in flows)
+
+    multi = make_multi_video_scorer(gen, variables, window_batch=wb)
+    out_otf = np.asarray(multi(rgbs, flows))
+    out_pre = np.asarray(multi(rgbs, tuple(jnp.asarray(np.asarray(f))
+                                           for f in flows)))
+    np.testing.assert_allclose(out_otf, out_pre, rtol=1e-5, atol=1e-5)
+    assert np.isfinite(out_otf).all()
+
+
 def test_score_dataset_video_mode_matches_batch(toydata):
     """score_dataset(scorer_mode='video'): one whole-video dispatch per
     sub-video must reproduce the per-batch scorer's records."""
