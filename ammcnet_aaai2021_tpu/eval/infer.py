@@ -310,7 +310,8 @@ def make_multi_video_scorer(generator, variables,
 
 def make_otf_flow_extractor(flow_net, flow_vars,
                             reproduce_flow_bug: bool = True,
-                            chunk: int = 16) -> Callable:
+                            chunk: int = 16,
+                            pad_to: Optional[int] = None) -> Callable:
     """On-the-fly optical-flow extraction, fully on-device.
 
     For datasets without precomputed .flo files (BASELINE config: avenue
@@ -321,10 +322,24 @@ def make_otf_flow_extractor(flow_net, flow_vars,
     flow source.
 
     Returns ``extract(video_rgb_u8 (T,h,w,3)) -> (T-1,h,w,2) bf16``.
+
+    ``pad_to``: edge-pad the video to this frame count ON DEVICE (same
+    repeat-last-frame semantics as :func:`pad_video_to_bucket`) and return
+    ``(rgb_padded (pad_to,h,w,3) u8, flows (pad_to-1,h,w,2) bf16)`` — the
+    caller then uploads only the true frames and the bucket-shaped scorer
+    consumes the padded pair (bench.py: 6% fewer uploaded bytes over a
+    bandwidth-bound tunnel).
     """
 
     @jax.jit
-    def extract(vars_, video_rgb_u8: jax.Array) -> jax.Array:
+    def extract(vars_, video_rgb_u8: jax.Array):
+        if pad_to is not None and pad_to > video_rgb_u8.shape[0]:
+            video_rgb_u8 = jnp.concatenate(
+                [video_rgb_u8,
+                 jnp.broadcast_to(
+                     video_rgb_u8[-1:],
+                     (pad_to - video_rgb_u8.shape[0],
+                      *video_rgb_u8.shape[1:]))], axis=0)
         f = video_rgb_u8.astype(jnp.float32)  # FlowNet2SD wants [0,255]
         pairs = jnp.stack([f[:-1], f[1:]], axis=-1)  # (T-1, h, w, 3, 2)
         n = pairs.shape[0]
@@ -340,7 +355,8 @@ def make_otf_flow_extractor(flow_net, flow_vars,
             flows = jnp.stack([u, u / w], axis=-1)
         else:
             flows = jnp.stack([flows[..., 0] / w, flows[..., 1] / h], axis=-1)
-        return flows.astype(jnp.bfloat16)
+        flows = flows.astype(jnp.bfloat16)
+        return (video_rgb_u8, flows) if pad_to is not None else flows
 
     # FlowNet weights (~45M params) as program parameters, not 180MB of
     # baked-in HLO constants (see make_twostream_scorer)

@@ -76,10 +76,24 @@ def test_otf_extractor_feeds_chunk_scorer(rng):
     t, bucket, wb = 14, 16, 8
     videos = [rng.integers(0, 255, (t, size, size, 3), np.uint8)
               for _ in range(2)]
-    rgbs = tuple(jnp.asarray(
-        pad_video_to_bucket(v, np.zeros((t - 1, 1, 1, 2), np.float32),
-                            bucket=bucket)[0]) for v in videos)
-    flows = tuple(extractor(r) for r in rgbs)
+    # pad_to variant (what bench.py runs): upload TRUE frames, get the
+    # device-padded (rgb, flows) pair back; device pad must equal the host
+    # pad_video_to_bucket edge-repeat, and the flows must equal extracting
+    # from an already-padded video
+    pad_extractor = make_otf_flow_extractor(flownet, flow_vars, chunk=4,
+                                            pad_to=bucket)
+    rgbs, flows = [], []
+    for v in videos:
+        host_pad = pad_video_to_bucket(
+            v, np.zeros((t - 1, 1, 1, 2), np.float32), bucket=bucket)[0]
+        r_dev, f_dev = pad_extractor(jnp.asarray(v))
+        np.testing.assert_array_equal(np.asarray(r_dev), host_pad)
+        np.testing.assert_array_equal(
+            np.asarray(f_dev, np.float32),
+            np.asarray(extractor(jnp.asarray(host_pad)), np.float32))
+        rgbs.append(r_dev)
+        flows.append(f_dev)
+    rgbs, flows = tuple(rgbs), tuple(flows)
     assert all(f.shape == (bucket - 1, size, size, 2) and
                f.dtype == jnp.bfloat16 for f in flows)
 
