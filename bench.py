@@ -169,18 +169,41 @@ def synth_ped2_shaped(rng: np.random.Generator):
     cast, and uploaded separately in the timed loop), and one-time setup
     drops 12x (this host's CPU intermittently degrades with the tunnel;
     synth once measured 145 s — setup time must never eat the driver's
-    run budget)."""
+    run budget).  The JPEG bytes are additionally memoized to /tmp keyed by
+    (seed, shape): the 180-encode loop alone measured 23 s at a degraded
+    host moment, and re-synthesizing identical bytes every run only burns
+    pass budget.  In OTF mode the flow stack is never read (flows come from
+    FlowNet on device), so its synthesis is skipped."""
     import cv2
 
-    jpegs = []
-    base = rng.integers(0, 200, (SIZE, SIZE, 3), np.uint8)
-    for t in range(FRAMES_PER_VIDEO):
-        frame = np.roll(base, t, axis=1)
-        ok, buf = cv2.imencode(".jpg", frame)
-        assert ok
-        jpegs.append(buf.tobytes())
-    flows = rng.normal(0, 0.02, (FRAMES_PER_VIDEO - 1, SIZE, SIZE, 2)
-                       ).astype(np.float32)
+    memo = f"/tmp/ammcnet_bench_synth_s0_{FRAMES_PER_VIDEO}x{SIZE}.npz"
+    jpegs = None
+    try:
+        with np.load(memo, allow_pickle=False) as z:
+            jpegs = [z[f"j{t}"].tobytes() for t in range(FRAMES_PER_VIDEO)]
+    except (OSError, KeyError):
+        pass
+    if jpegs is None:
+        jpegs = []
+        base = rng.integers(0, 200, (SIZE, SIZE, 3), np.uint8)
+        for t in range(FRAMES_PER_VIDEO):
+            frame = np.roll(base, t, axis=1)
+            ok, buf = cv2.imencode(".jpg", frame)
+            assert ok
+            jpegs.append(buf.tobytes())
+        try:
+            np.savez(memo + f".tmp{os.getpid()}",
+                     **{f"j{t}": np.frombuffer(b, np.uint8)
+                        for t, b in enumerate(jpegs)})
+            os.replace(memo + f".tmp{os.getpid()}.npz", memo)
+        except OSError:
+            pass
+    else:
+        rng.integers(0, 200, (SIZE, SIZE, 3), np.uint8)  # keep rng stream
+    flows = (np.zeros((FRAMES_PER_VIDEO - 1, SIZE, SIZE, 2), np.float32)
+             if OTF_FLOW else
+             rng.normal(0, 0.02, (FRAMES_PER_VIDEO - 1, SIZE, SIZE, 2)
+                        ).astype(np.float32))
     return [(jpegs, flows)] * NUM_VIDEOS
 
 
@@ -357,6 +380,7 @@ def main() -> None:
         threading.Thread(target=_run_compile_extract, daemon=True,
                          name="compile-extract").start()
     mode = "chunk"
+    t_aot = time.perf_counter()
     if _wait_with_deadline(compile_chunk, COMPILE_DEADLINE,
                            "compile-chunk") is None:
         heartbeat("chunk program missed the compile deadline -> per-batch "
@@ -367,6 +391,8 @@ def main() -> None:
         if "done" not in batch_box:
             heartbeat("per-batch program still compiling; proceeding — "
                       "pass 1 will block on it")
+    else:
+        heartbeat(f"chunk program ready ({time.perf_counter() - t_aot:.1f}s)")
     otf = extractor is not None and mode == "chunk"
     if otf:
         t_wait = time.perf_counter()
@@ -376,6 +402,9 @@ def main() -> None:
         if "done" not in extract_box:
             heartbeat("flow-extract program unavailable -> host flows")
             otf = False
+        else:
+            heartbeat("flow-extract program ready "
+                      f"(+{time.perf_counter() - t_wait:.1f}s)")
 
     # One completed execute on zero inputs moves the one-time program load
     # onto the chip out of the timed passes (measured: first execute
@@ -400,10 +429,15 @@ def main() -> None:
         np.asarray(jax.tree_util.tree_leaves(out)[0])  # tiny fetch barrier
         return True
 
+    t_warm = time.perf_counter()
+    heartbeat("warm execute (one-time device program load + weight-upload "
+              "barrier)")
     if _wait_with_deadline(warm_execute, COMPILE_DEADLINE,
                            "warm-execute") is None:
         heartbeat("warm execute still in flight; pass 1 will absorb the "
                   "program load")
+    else:
+        heartbeat(f"warm execute done ({time.perf_counter() - t_warm:.1f}s)")
     heartbeat(f"warm-up done (mode={mode}, otf={otf}); "
               f"timing {N_PASSES} passes")
 
