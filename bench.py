@@ -430,9 +430,17 @@ def main() -> None:
         return True
 
     t_warm = time.perf_counter()
+    # reserve pass time: the three warm-up waits (chunk compile, extract,
+    # warm execute) are serial — at full COMPILE_DEADLINE each they could
+    # eat 3x210 s of a 480 s budget and leave ZERO passes.  The warm
+    # execute's deadline shrinks to keep >=150 s of pass budget (a
+    # cut-short warm just means pass 1 absorbs the remaining load).
+    warm_deadline = max(30.0, min(
+        COMPILE_DEADLINE,
+        TOTAL_WALL_BUDGET - (time.perf_counter() - _T0) - 150.0))
     heartbeat("warm execute (one-time device program load + weight-upload "
-              "barrier)")
-    if _wait_with_deadline(warm_execute, COMPILE_DEADLINE,
+              f"barrier; deadline {warm_deadline:.0f}s)")
+    if _wait_with_deadline(warm_execute, warm_deadline,
                            "warm-execute") is None:
         heartbeat("warm execute still in flight; pass 1 will absorb the "
                   "program load")
