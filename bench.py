@@ -181,8 +181,8 @@ def synth_ped2_shaped(rng: np.random.Generator):
     try:
         with np.load(memo, allow_pickle=False) as z:
             jpegs = [z[f"j{t}"].tobytes() for t in range(FRAMES_PER_VIDEO)]
-    except (OSError, KeyError):
-        pass
+    except Exception:  # missing/corrupt memo (BadZipFile, KeyError, OSError):
+        jpegs = None   # re-synthesize; never let a stale /tmp file kill bench
     if jpegs is None:
         jpegs = []
         base = rng.integers(0, 200, (SIZE, SIZE, 3), np.uint8)

@@ -70,6 +70,42 @@ class TestWaitWithDeadline:
             bench._wait_with_deadline(boom, 5.0, "t")
 
 
+class TestSynthMemo:
+    """The /tmp JPEG memo must round-trip byte-identically and never let a
+    corrupt file kill the driver's run (np.load raises BadZipFile, not
+    OSError, on truncation)."""
+
+    @pytest.fixture(autouse=True)
+    def _tiny_shapes(self, monkeypatch):
+        monkeypatch.setattr(bench, "FRAMES_PER_VIDEO", 6)
+        monkeypatch.setattr(bench, "SIZE", 32)
+        self.memo = "/tmp/ammcnet_bench_synth_s0_6x32.npz"
+        import os
+
+        if os.path.exists(self.memo):
+            os.remove(self.memo)
+        yield
+        if os.path.exists(self.memo):
+            os.remove(self.memo)
+
+    def test_warm_hit_returns_identical_bytes(self):
+        import os
+
+        cold = bench.synth_ped2_shaped(np.random.default_rng(0))
+        assert os.path.exists(self.memo)
+        warm = bench.synth_ped2_shaped(np.random.default_rng(0))
+        assert [bytes(j) for j in cold[0][0]] == \
+               [bytes(j) for j in warm[0][0]]
+
+    def test_corrupt_memo_resynthesizes(self):
+        bench.synth_ped2_shaped(np.random.default_rng(0))
+        with open(self.memo, "wb") as fh:
+            fh.write(b"not a zip")
+        videos = bench.synth_ped2_shaped(np.random.default_rng(0))
+        assert len(videos) == bench.NUM_VIDEOS
+        assert len(videos[0][0]) == 6
+
+
 def test_synth_shares_one_encoded_video():
     """Setup cost must stay O(1 video): all 12 entries alias one
     (jpegs, flows) pair (the timed loop still decodes/uploads each)."""
