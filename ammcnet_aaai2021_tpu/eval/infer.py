@@ -725,7 +725,8 @@ def score_dataset(
         if logger:
             logger.info("finish test video set %s", name)
     if multihost:
-        from ..parallel.multihost import (merge_record_shards,
+        from ..parallel.multihost import (consume_shard_dir,
+                                          merge_record_shards, wait_for_merge,
                                           wait_for_shards, write_record_shard)
 
         write_record_shard(shard_dir, result, names)
@@ -735,12 +736,17 @@ def score_dataset(
         if jax.process_index() == 0:
             wait_for_shards(shard_dir)
             result.update(merge_record_shards(shard_dir, all_names))
-            # the per-run run_<token> directory is consumed: remove it so
-            # recurring evals (per-checkpoint watchers) don't accumulate
-            # stale shard pickles under save_dir without bound
-            import shutil as _shutil
-
-            _shutil.rmtree(shard_dir, ignore_errors=True)
+            # rename-then-delete: the rename doubles as the "merge done"
+            # signal the other ranks poll for, and removing the consumed
+            # run_<token> dir keeps recurring evals (per-checkpoint
+            # watchers) from accumulating stale shard pickles
+            consume_shard_dir(shard_dir)
+        else:
+            # align non-rank-0 exits to rank 0's merge: an early process
+            # exit hangs jax.distributed's shutdown barrier, and a second
+            # eval in this process would hit agree_on_run_token's broadcast
+            # with ranks minutes apart
+            wait_for_merge(shard_dir)
     used = time.time() - t0
     fps = total_frames / used if used > 0 else 0.0
     if logger:

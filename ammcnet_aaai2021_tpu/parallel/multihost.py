@@ -47,6 +47,53 @@ def agree_on_run_token() -> str:
     return bytes(np.asarray(tok).tolist()).hex()
 
 
+def consume_shard_dir(shard_dir: str) -> None:
+    """Rank 0, after merging: retire the per-run shard directory.
+
+    Atomically renames it aside first (the rename is the cross-rank
+    "merge done" signal :func:`wait_for_merge` polls for — a plain rmtree
+    of a directory another rank is statting can fail halfway on shared
+    filesystems and leave the signal ambiguous), then best-effort deletes
+    the renamed remains so recurring evals don't accumulate stale pickles.
+    """
+    import os
+    import shutil
+
+    consumed = shard_dir.rstrip("/") + ".consumed"
+    try:
+        os.rename(shard_dir, consumed)
+    except OSError:
+        consumed = shard_dir  # rename failed: fall back to direct removal
+    shutil.rmtree(consumed, ignore_errors=True)
+
+
+def wait_for_merge(shard_dir: str, timeout_s: float = 3600.0,
+                   poll_s: float = 0.5) -> None:
+    """Non-rank-0 end-of-run rendezvous: poll until rank 0 consumes the
+    per-run shard directory (:func:`consume_shard_dir` renames it away
+    after merging).
+
+    Without this, fast ranks return from an eval minutes before rank 0
+    finishes scoring+merging — their process exit then hangs
+    jax.distributed's shutdown barrier, and a second eval in the same
+    process would enter :func:`agree_on_run_token`'s broadcast collective
+    with ranks minutes apart (exactly the rendezvous-deadline failure the
+    file-based design avoids).  On timeout: warn and return — a crashed
+    rank 0 must not also deadlock every worker."""
+    import os
+    import time
+    import warnings
+
+    t0 = time.monotonic()
+    while os.path.isdir(shard_dir):
+        if time.monotonic() - t0 > timeout_s:
+            warnings.warn(
+                f"rank 0 did not consume {shard_dir!r} within "
+                f"{timeout_s:.0f}s; returning unaligned", RuntimeWarning)
+            return
+        time.sleep(poll_s)
+
+
 def wait_for_shards(shard_dir: str, n_shards: int = 0,
                     timeout_s: float = 3600.0, poll_s: float = 0.5) -> None:
     """Rank-0 rendezvous: poll until every rank's ``records_*.pkl`` exists.

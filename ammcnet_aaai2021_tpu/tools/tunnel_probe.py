@@ -80,13 +80,16 @@ def main(argv=None) -> dict:
         out["video_upload_s"] = time.perf_counter() - t
         hb(f"video upload (u8 + bf16 flows): {out['video_upload_s']:.2f}s")
         r = scorer(v_rgb, v_op, jnp.arange(64))
-        jax.block_until_ready(r)  # program-load + first execution
+        np.asarray(r[0])  # program-load + first execution; must be a FETCH —
+        # this tunnel's block_until_ready acks dispatch without waiting for
+        # execution (PERF.md barrier caveat), which would let the timed loop
+        # absorb the program load AND finish "instantly"
         t = time.perf_counter()
         for s in range(0, 176, 64):
             i = np.arange(s, min(s + 64, 176))
             i = np.pad(i, (0, 64 - len(i)), mode="edge")
             r = scorer(v_rgb, v_op, jnp.asarray(i))
-        jax.block_until_ready(r)
+        np.asarray(r[0])  # tiny (64-float) fetch: the only true barrier
         dt = time.perf_counter() - t
         out["windows_per_s"] = 176 / dt
         hb(f"176 windows in {dt:.2f}s = {out['windows_per_s']:.0f} windows/s")

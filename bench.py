@@ -78,7 +78,7 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", "6"))
 # wall budget (a pass at a healthy hour is ~25-60 s, so the median draws
 # on many steady-state samples instead of 3 fixed ones; a single pass can
 # catch a transient 300 s tunnel stall) and reports the median
-N_PASSES = int(os.environ.get("BENCH_PASSES", "12"))
+N_PASSES = max(1, int(os.environ.get("BENCH_PASSES", "12")))
 # seconds to wait for the chunk program before degrading to the per-batch
 # scorer; a cache hit takes seconds, only an (unexpected) fresh remote
 # compile or a badly degraded tunnel can exceed this
@@ -160,7 +160,7 @@ def _early_guard() -> None:
         os._exit(0)
 
 
-def synth_ped2_shaped(rng: np.random.Generator):
+def synth_ped2_shaped(seed: int = 0):
     """12 videos of JPEG bytes + flow arrays, ped2-shaped, in RAM.
 
     One video's JPEG bytes + one flow stack are synthesized and shared by
@@ -176,7 +176,8 @@ def synth_ped2_shaped(rng: np.random.Generator):
     FlowNet on device), so its synthesis is skipped."""
     import cv2
 
-    memo = f"/tmp/ammcnet_bench_synth_s0_{FRAMES_PER_VIDEO}x{SIZE}.npz"
+    rng = np.random.default_rng(seed)
+    memo = f"/tmp/ammcnet_bench_synth_s{seed}_{FRAMES_PER_VIDEO}x{SIZE}.npz"
     jpegs = None
     try:
         with np.load(memo, allow_pickle=False) as z:
@@ -250,8 +251,7 @@ def main() -> None:
     from ammcnet_aaai2021_tpu.models import build_generator
 
     heartbeat("synthesizing ped2-shaped data (12 videos x 180 frames)")
-    rng = np.random.default_rng(0)
-    videos = synth_ped2_shaped(rng)
+    videos = synth_ped2_shaped(seed=0)
 
     heartbeat("init model (one jitted program)")
     cfg = NetConfig()  # released config: bf16 compute, Pallas memory kernel
@@ -682,4 +682,21 @@ if __name__ == "__main__":
         traceback.print_exc()
         heartbeat("transient device error; retrying once in 10s")
         time.sleep(10)
-        main()
+        try:
+            main()
+        except Exception:
+            # second failure: the output contract still holds — report the
+            # best real partial measurement either attempt made, else an
+            # honest 0.0, and exit 0 (never rc!=0 with no JSON line)
+            traceback.print_exc()
+            for prog in _PROGRESS_REF:
+                passes, frames, elapsed = prog.snapshot()
+                if passes:
+                    emit(statistics.median(passes))
+                    os._exit(0)
+                if frames and elapsed > 0:
+                    emit(frames / elapsed)
+                    os._exit(0)
+            heartbeat("second device failure with no progress; emitting 0.0")
+            emit(0.0)
+            os._exit(0)

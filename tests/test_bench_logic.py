@@ -91,17 +91,17 @@ class TestSynthMemo:
     def test_warm_hit_returns_identical_bytes(self):
         import os
 
-        cold = bench.synth_ped2_shaped(np.random.default_rng(0))
+        cold = bench.synth_ped2_shaped(seed=0)
         assert os.path.exists(self.memo)
-        warm = bench.synth_ped2_shaped(np.random.default_rng(0))
+        warm = bench.synth_ped2_shaped(seed=0)
         assert [bytes(j) for j in cold[0][0]] == \
                [bytes(j) for j in warm[0][0]]
 
     def test_corrupt_memo_resynthesizes(self):
-        bench.synth_ped2_shaped(np.random.default_rng(0))
+        bench.synth_ped2_shaped(seed=0)
         with open(self.memo, "wb") as fh:
             fh.write(b"not a zip")
-        videos = bench.synth_ped2_shaped(np.random.default_rng(0))
+        videos = bench.synth_ped2_shaped(seed=0)
         assert len(videos) == bench.NUM_VIDEOS
         assert len(videos[0][0]) == 6
 
@@ -109,7 +109,7 @@ class TestSynthMemo:
 def test_synth_shares_one_encoded_video():
     """Setup cost must stay O(1 video): all 12 entries alias one
     (jpegs, flows) pair (the timed loop still decodes/uploads each)."""
-    videos = bench.synth_ped2_shaped(np.random.default_rng(0))
+    videos = bench.synth_ped2_shaped(seed=0)
     assert len(videos) == bench.NUM_VIDEOS
     assert all(v is videos[0] for v in videos)
     jpegs, flows = videos[0]

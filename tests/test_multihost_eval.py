@@ -28,9 +28,10 @@ ret = main(["--dataset_name", "toydata", "--data_dir", sys.argv[2],
             "--save_dir", sys.argv[3], "--batch_size", "2",
             "--image_size", "32"])
 print("RANK_DONE", jax.process_index(), ret.get("rank", 0), flush=True)
-# no end-of-run barrier needed: the shard merge is collective-free (rank 0
-# polls for shard files), and jax.distributed's own shutdown tolerates the
-# remaining exit skew (merge+eval on these tiny videos is seconds)
+# end-of-run alignment is inside score_dataset: non-rank-0 ranks poll until
+# rank 0 consumes the shard dir (wait_for_merge), so process exits here are
+# seconds apart at most and jax.distributed's shutdown barrier cannot time
+# out no matter how unevenly the videos were dealt
 """
 
 
@@ -65,6 +66,12 @@ def test_two_process_eval_matches_single(tmp_path):
                       for i, (p, out) in enumerate(zip(procs, outs))))
     assert any("RANK_DONE 0" in o for o in outs)
     assert any("RANK_DONE 1" in o for o in outs)
+
+    # the per-run shard dir was consumed: no run_* or *.consumed leftovers
+    # anywhere under save_dir (wait_for_merge aligned rank 1 to the removal)
+    leftovers = [os.path.join(r, d) for r, ds, _ in os.walk(save_dir)
+                 for d in ds if d.startswith("run_")]
+    assert leftovers == []
 
     # rank 0 pickled the merged records in global video order
     merged_path = os.path.join(

@@ -115,6 +115,44 @@ class TestRecordShardMerge:
             wait_for_shards(str(tmp_path), n_shards=2, timeout_s=0.2,
                             poll_s=0.05)
 
+    def test_consume_shard_dir_renames_then_removes(self, tmp_path):
+        from ammcnet_aaai2021_tpu.parallel.multihost import consume_shard_dir
+
+        d = tmp_path / "run_abc"
+        d.mkdir()
+        (d / "records_00000.pkl").write_bytes(b"x")
+        consume_shard_dir(str(d))
+        assert not d.exists()
+        assert not (tmp_path / "run_abc.consumed").exists()
+
+    def test_wait_for_merge_returns_once_consumed(self, tmp_path):
+        import threading
+        import time as _time
+
+        from ammcnet_aaai2021_tpu.parallel.multihost import (
+            consume_shard_dir, wait_for_merge)
+
+        d = tmp_path / "run_def"
+        d.mkdir()
+
+        def consume_late():
+            _time.sleep(0.2)
+            consume_shard_dir(str(d))
+
+        t = threading.Thread(target=consume_late)
+        t.start()
+        wait_for_merge(str(d), timeout_s=10, poll_s=0.05)
+        t.join()
+        assert not d.exists()
+
+    def test_wait_for_merge_timeout_warns_not_hangs(self, tmp_path):
+        from ammcnet_aaai2021_tpu.parallel.multihost import wait_for_merge
+
+        d = tmp_path / "run_ghi"
+        d.mkdir()
+        with pytest.warns(RuntimeWarning, match="did not consume"):
+            wait_for_merge(str(d), timeout_s=0.2, poll_s=0.05)
+
     def test_run_token_single_process_is_fresh_hex(self):
         from ammcnet_aaai2021_tpu.parallel.multihost import agree_on_run_token
 
