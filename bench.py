@@ -46,7 +46,7 @@ a watchdog (budget: median/partial) and an executioner (hard deadline:
 partial or an honest 0.0), whatever state the tunnel is in.
 
 The reported value is the MEDIAN of as many full passes as fit inside the
-wall budget (cap BENCH_PASSES, default 12; a healthy-hour pass is ~25-60 s)
+wall budget (cap BENCH_PASSES, default 24; a healthy-hour pass is ~15-60 s)
 — the pipeline must clear the target on a typical pass, not a lucky one.
 """
 
@@ -75,10 +75,10 @@ WINDOW_BATCH = int(os.environ.get("BENCH_WINDOW_BATCH", "192"))
 # second chunk's decode/upload overlaps the first chunk's compute
 CHUNK = int(os.environ.get("BENCH_CHUNK", "6"))
 # cap on timed passes: the bench runs as many FULL passes as fit in the
-# wall budget (a pass at a healthy hour is ~25-60 s, so the median draws
-# on many steady-state samples instead of 3 fixed ones; a single pass can
-# catch a transient 300 s tunnel stall) and reports the median
-N_PASSES = max(1, int(os.environ.get("BENCH_PASSES", "12")))
+# wall budget (a pass at a healthy hour is ~15-20 s, so ~24 fit after
+# warm-up and the median draws on many steady-state samples; a single
+# pass can catch a transient 300 s tunnel stall) and reports the median
+N_PASSES = max(1, int(os.environ.get("BENCH_PASSES", "24")))
 # seconds to wait for the chunk program before degrading to the per-batch
 # scorer; a cache hit takes seconds, only an (unexpected) fresh remote
 # compile or a badly degraded tunnel can exceed this
@@ -414,12 +414,17 @@ def main() -> None:
     # "warm executes" finished in 1 s and pass 1 still paid the load.
     def warm_execute():
         # in OTF mode this also barriers the one-time FlowNet weight upload
-        # and warms the extract(+pad) program on the chip
+        # and warms the extract(+pad) program on the chip.  The video comes
+        # from a HOST array (device_put, not jnp.zeros): pass 1 was
+        # consistently the slowest pass (29-48 fps vs 100+ steady) until the
+        # warm also exercised a real host->device transfer of the video
+        # shape, initializing the tunnel's bulk-transfer path
         if otf:
-            z_rgb, z_op = extractor(
-                jnp.zeros((FRAMES_PER_VIDEO, SIZE, SIZE, 3), jnp.uint8))
+            z_rgb, z_op = extractor(jax.device_put(
+                np.zeros((FRAMES_PER_VIDEO, SIZE, SIZE, 3), np.uint8)))
         else:
-            z_rgb = jnp.zeros((t_pad, SIZE, SIZE, 3), jnp.uint8)
+            z_rgb = jax.device_put(np.zeros((t_pad, SIZE, SIZE, 3),
+                                            np.uint8))
             z_op = jnp.zeros((t_pad - 1, SIZE, SIZE, 2), jnp.bfloat16)
         if mode == "chunk":
             out = scorer((z_rgb,) * CHUNK, (z_op,) * CHUNK)
