@@ -53,17 +53,37 @@ def test_two_process_eval_matches_single(tmp_path):
 
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
-    save_dir = str(tmp_path / "multi")
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo"}
-    procs = [subprocess.Popen(
-        [sys.executable, str(script), str(rank), data_dir, save_dir],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        cwd="/root/repo", env=env) for rank in range(2)]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+
+    def launch(save_dir):
+        procs = [subprocess.Popen(
+            [sys.executable, str(script), str(rank), data_dir, save_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo", env=env) for rank in range(2)]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        return procs, outs
+
+    save_dir = str(tmp_path / "multi")
+    procs, outs = launch(save_dir)
     if any(p.returncode != 0 for p in procs):
-        raise AssertionError(
-            "\n".join(f"--- rank {i} (rc={p.returncode}) ---\n{out[-2500:]}"
-                      for i, (p, out) in enumerate(zip(procs, outs))))
+        report = "\n".join(
+            f"--- rank {i} (rc={p.returncode}) ---\n{out[-2500:]}"
+            for i, (p, out) in enumerate(zip(procs, outs)))
+        # this 1-core host's health swings by the hour (CLAUDE.md): worker
+        # startup skew under a 98%-loaded CPU can blow the distributed
+        # rendezvous/collective deadlines.  Retry ONCE for that signature
+        # only — result mismatches and ordinary crashes stay hard failures
+        transient = ("DEADLINE_EXCEEDED", "Termination timeout",
+                     "barrier timed out", "Timed out waiting",
+                     "initialization_timeout")
+        if not any(sig in report for sig in transient):
+            raise AssertionError(report)
+        save_dir = str(tmp_path / "multi_retry")
+        procs, outs = launch(save_dir)
+        if any(p.returncode != 0 for p in procs):
+            raise AssertionError("retry also failed\n" + "\n".join(
+                f"--- rank {i} (rc={p.returncode}) ---\n{out[-2500:]}"
+                for i, (p, out) in enumerate(zip(procs, outs))))
     assert any("RANK_DONE 0" in o for o in outs)
     assert any("RANK_DONE 1" in o for o in outs)
 
