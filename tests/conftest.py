@@ -30,6 +30,14 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon register hook sets jax.config.jax_platforms="axon,cpu" at
+# interpreter start (overriding any JAX_PLATFORMS env), so the first
+# jax.devices() call would INITIALIZE the TPU tunnel backend — observed
+# 2026-08-17: the tunnel was wedged and the whole CPU suite hung/died at
+# conftest import ("Unable to initialize backend 'axon'").  This suite is
+# 100% CPU; flip the config to cpu-only BEFORE touching devices so the
+# tunnel's state can never take the tests down.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 from ammcnet_aaai2021_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402

@@ -16,6 +16,9 @@ _WORKER = r"""
 import sys
 import jax
 
+# cpu-only BEFORE any backend init: the axon hook's jax_platforms override
+# would otherwise make this worker initialize the TPU tunnel (see conftest)
+jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address="127.0.0.1:23517",
                            num_processes=2, process_id=int(sys.argv[1]))
 # NOTE: local_devices, not devices -- jax.devices() is the GLOBAL list in
