@@ -7,12 +7,21 @@ for the same program).  Every end-to-end throughput number is meaningless
 without knowing the tunnel state it was measured under — run this first and
 record its output next to any benchmark figure (PERF.md does).
 
-Usage: python -m ammcnet_aaai2021_tpu.tools.tunnel_probe [--model]
+Usage: python -m ammcnet_aaai2021_tpu.tools.tunnel_probe [--model] [--quick]
+
+``--quick`` skips the D2H leg (it has measured 732 s for 35 MB at degraded
+hours; the bench only fetches ~KB so H2D + tiny-op RTT is usually the
+question being asked).  A watchdog prints WEDGED and exits 3 if the
+backend/first op doesn't respond within --wedge-timeout (default 120 s) —
+when the tunnel is fully wedged even backend init blocks forever (the axon
+hook's jax_platforms override makes the first jax.devices() call dial it).
 """
 
 from __future__ import annotations
 
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -24,7 +33,32 @@ def hb(msg: str) -> None:
     print(f"[probe +{time.perf_counter() - _T0:6.1f}s] {msg}", flush=True)
 
 
+def _arm_wedge_watchdog(timeout_s: float) -> threading.Event:
+    """Exit 3 with a WEDGED verdict if the probe makes no progress: a hung
+    PJRT init cannot be interrupted from Python, so a daemon timer +
+    os._exit is the only reliable bound."""
+    alive = threading.Event()
+
+    def watch():
+        time.sleep(timeout_s)
+        if not alive.is_set():
+            hb(f"WEDGED: no backend/op response in {timeout_s:.0f}s — the "
+               "tunnel is not answering; every jax process on this host "
+               "will hang at first device touch")
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True, name="wedge-watch").start()
+    return alive
+
+
 def main(argv=None) -> dict:
+    argv = list(argv or [])
+    wedge_timeout = 120.0
+    for a in argv:
+        if a.startswith("--wedge-timeout="):
+            wedge_timeout = float(a.split("=", 1)[1])
+    alive = _arm_wedge_watchdog(wedge_timeout)
+
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +70,8 @@ def main(argv=None) -> dict:
     hb(f"device: {dev} ({dev.client.platform_version.splitlines()[0]})")
 
     t = time.perf_counter()
-    jax.block_until_ready(jnp.ones((8, 8)) + 1)
+    _ = np.asarray(jnp.ones((8, 8)) + 1)  # fetch = the only true barrier
+    alive.set()  # backend answered: not wedged
     out["tiny_op_roundtrip_s"] = time.perf_counter() - t
     hb(f"tiny-op roundtrip: {out['tiny_op_roundtrip_s']:.3f}s")
 
@@ -46,14 +81,16 @@ def main(argv=None) -> dict:
     d = jax.device_put(buf)
     jax.block_until_ready(d)
     out["h2d_35mb_s"] = time.perf_counter() - t
-    hb(f"H2D 35MB: {out['h2d_35mb_s']:.2f}s "
-       f"({35 / out['h2d_35mb_s']:.0f} MB/s)")
+    hb(f"H2D 35MB burst: {out['h2d_35mb_s']:.2f}s "
+       f"({35 / out['h2d_35mb_s']:.0f} MB/s) — local ack; sustained rate "
+       "is typically 10-20x lower (PERF.md)")
 
-    t = time.perf_counter()
-    _ = np.asarray(d)
-    out["d2h_35mb_s"] = time.perf_counter() - t
-    hb(f"D2H 35MB: {out['d2h_35mb_s']:.2f}s "
-       f"({35 / out['d2h_35mb_s']:.0f} MB/s)")
+    if "--quick" not in argv:
+        t = time.perf_counter()
+        _ = np.asarray(d)
+        out["d2h_35mb_s"] = time.perf_counter() - t
+        hb(f"D2H 35MB: {out['d2h_35mb_s']:.2f}s "
+           f"({35 / out['d2h_35mb_s']:.0f} MB/s)")
 
     if argv and "--model" in argv:
         from ..configs import NetConfig
