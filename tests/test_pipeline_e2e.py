@@ -51,6 +51,26 @@ class TestRunTestCLI:
         assert len(rec["rgb_img_pred_records"]) == 2
         assert all(len(a) == 16 for a in rec["rgb_img_pred_records"])
 
+    def test_on_the_fly_flow_end_to_end(self, toydata, tmp_path):
+        """--on_the_fly_flow: flows come from FlowNet-SD on device instead
+        of .flo files (the BASELINE avenue/shanghaitech configuration and
+        bench.py's default).  Random FlowNet weights — this pins the CLI
+        plumbing (extractor built, .flo reads skipped, records complete),
+        not flow quality."""
+        from ammcnet_aaai2021_tpu.runners.run_test import main
+
+        ret = main(["--dataset_name", "toydata", "--data_dir", toydata,
+                    "--save_dir", str(tmp_path / "otf"),
+                    "--batch_size", "4", "--image_size", "64",
+                    "--on_the_fly_flow"])
+        assert 0.0 <= ret["auc"] <= 1.0
+        with open(ret["pickle"], "rb") as fh:
+            rec = pickle.load(fh)
+        assert len(rec["op_img_pred_records"]) == 2
+        # op records must be real numbers driven by the extracted flows
+        assert all(np.isfinite(a).all() for a in rec["op_img_pred_records"])
+        assert all(np.isfinite(a).all() for a in rec["op_fea_comm_records"])
+
     def test_fix_flow_bug_flag_changes_records(self, toydata, tmp_path):
         from ammcnet_aaai2021_tpu.runners.run_test import main
 
