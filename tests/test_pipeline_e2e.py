@@ -87,6 +87,40 @@ class TestRunTestCLI:
                                rec2["op_img_pred_records"][0])
 
 
+class TestWatchEval:
+    def test_once_scores_new_checkpoints(self, toydata, tmp_path):
+        """Watch-folder evaluator (reference: Code/main/evaluate.py:164-214):
+        train 2 steps -> watch_eval --once scores the new checkpoint, appends
+        (step, auc, fps) to watch_results.csv, and a rerun re-scores nothing."""
+        import csv
+
+        from ammcnet_aaai2021_tpu.runners.run_train import main as train_main
+        from ammcnet_aaai2021_tpu.runners.watch_eval import main as watch_main
+
+        run_dir = train_main(
+            ["--dataset_name", "toydata", "--data_dir", toydata,
+             "--image_size", "64", "--batch_size", "2", "--iterations", "2",
+             "--save_dir", str(tmp_path / "runs"),
+             "--registry", str(tmp_path / "registry.json"),
+             "--n_embed", "64", "--step_save", "2",
+             "--exp_tag", "watch-test"])
+        best = watch_main(["--run_dir", run_dir, "--dataset_name", "toydata",
+                           "--data_dir", toydata, "--once",
+                           "--batch_size", "4"])
+        assert best[0] == 2 and 0.0 <= best[1] <= 1.0
+        rows = list(csv.DictReader(
+            open(os.path.join(run_dir, "watch_results.csv"))))
+        assert [int(r["step"]) for r in rows] == [2]
+        # idempotent: a second pass sees the step as already scored
+        best2 = watch_main(["--run_dir", run_dir, "--dataset_name", "toydata",
+                            "--data_dir", toydata, "--once",
+                            "--batch_size", "4"])
+        assert best2 == (None, -1.0)  # nothing pending
+        rows = list(csv.DictReader(
+            open(os.path.join(run_dir, "watch_results.csv"))))
+        assert len(rows) == 1
+
+
 class TestRunTrainCLI:
     def test_stage2_trains_and_checkpoints(self, toydata, tmp_path):
         from ammcnet_aaai2021_tpu.runners.run_train import main
