@@ -311,7 +311,8 @@ def make_multi_video_scorer(generator, variables,
 def make_otf_flow_extractor(flow_net, flow_vars,
                             reproduce_flow_bug: bool = True,
                             chunk: int = 16,
-                            pad_to: Optional[int] = None) -> Callable:
+                            pad_to: Optional[int] = None,
+                            gray: bool = False) -> Callable:
     """On-the-fly optical-flow extraction, fully on-device.
 
     For datasets without precomputed .flo files (BASELINE config: avenue
@@ -329,10 +330,28 @@ def make_otf_flow_extractor(flow_net, flow_vars,
     caller then uploads only the true frames and the bucket-shaped scorer
     consumes the padded pair (bench.py: 6% fewer uploaded bytes over a
     bandwidth-bound tunnel).
+
+    ``gray``: the input is ``(T,h,w,1)`` u8 and the first device op
+    broadcasts it to 3 identical channels.  For grayscale datasets (ped2 is
+    grayscale: cv2's color decode of its JPEGs yields 3 identical channels,
+    reference ``Dataset/readme`` + ``img_dataset.py``'s cv.imread) this is
+    bit-identical to uploading the decoded 3-channel video while shipping
+    1/3 of the bytes over the host->device link — the end-to-end bottleneck
+    in this environment (PERF.md).  Downstream programs are unchanged: the
+    broadcast happens inside this program, and because the caller no longer
+    holds a 3-channel device copy, gray mode ALWAYS returns the
+    ``(rgb_3ch, flows)`` pair (padded iff ``pad_to``) for the scorer to
+    consume.
     """
+
+    returns_pair = gray or pad_to is not None
 
     @jax.jit
     def extract(vars_, video_rgb_u8: jax.Array):
+        if gray:
+            assert video_rgb_u8.shape[-1] == 1, video_rgb_u8.shape
+            video_rgb_u8 = jnp.broadcast_to(
+                video_rgb_u8, (*video_rgb_u8.shape[:-1], 3))
         if pad_to is not None and pad_to > video_rgb_u8.shape[0]:
             video_rgb_u8 = jnp.concatenate(
                 [video_rgb_u8,
@@ -356,7 +375,7 @@ def make_otf_flow_extractor(flow_net, flow_vars,
         else:
             flows = jnp.stack([flows[..., 0] / w, flows[..., 1] / h], axis=-1)
         flows = flows.astype(jnp.bfloat16)
-        return (video_rgb_u8, flows) if pad_to is not None else flows
+        return (video_rgb_u8, flows) if returns_pair else flows
 
     # FlowNet weights (~45M params) as program parameters, not 180MB of
     # baked-in HLO constants (see make_twostream_scorer)
@@ -364,6 +383,7 @@ def make_otf_flow_extractor(flow_net, flow_vars,
         return extract(flow_vars, video_rgb_u8)
 
     run.jitted, run.variables = extract, flow_vars  # AOT warm-up hook
+    run.gray, run.returns_pair = gray, returns_pair
     return run
 
 
@@ -680,6 +700,20 @@ def score_dataset(
     def upload_next(decoded):
         rgb_h, op_h, true_frames = decoded
         if flow_extractor is not None:
+            if getattr(flow_extractor, "gray", False):
+                # grayscale dataset: ship ONE u8 channel per frame; the
+                # extract program broadcasts to the 3 identical channels a
+                # color decode produces and hands back the (rgb, flows)
+                # pair.  Guarded: a color video here would be scored on
+                # its blue channel only, silently.
+                if not np.array_equal(rgb_h[0, ..., 0], rgb_h[0, ..., -1]):
+                    raise ValueError(
+                        "gray_upload/on-the-fly gray extractor on a video "
+                        "whose decoded channels differ — this dataset is "
+                        "not grayscale; drop --gray_upload")
+                v_rgb1 = jax.device_put(np.ascontiguousarray(rgb_h[..., :1]))
+                v_rgb, v_op = flow_extractor(v_rgb1)
+                return v_rgb, v_op, true_frames
             v_rgb = jax.device_put(np.ascontiguousarray(rgb_h))
             return v_rgb, flow_extractor(v_rgb), true_frames
         v_rgb, v_op = upload_video(rgb_h, op_h, flow_dtype)

@@ -81,6 +81,12 @@ def parser_args(argv=None):
                         "instead of reading precomputed .flo files")
     p.add_argument("--flownet_ckpt", default="",
                    help="FlowNet2-SD torch .pth for --on_the_fly_flow")
+    p.add_argument("--gray_upload", action="store_true",
+                   help="with --on_the_fly_flow on a GRAYSCALE dataset "
+                        "(ped2): upload one u8 channel per frame and "
+                        "broadcast to 3 on device — 1/3 the host->device "
+                        "bytes, bit-identical scores (guarded: fails loudly "
+                        "on color data)")
     return p.parse_args(argv)
 
 
@@ -183,7 +189,11 @@ def main(argv=None) -> dict:
             logger.warning("--on_the_fly_flow without --flownet_ckpt: "
                            "random FlowNet weights (smoke only)")
         flow_extractor = make_otf_flow_extractor(
-            flownet, flow_vars, reproduce_flow_bug=not args.fix_flow_bug)
+            flownet, flow_vars, reproduce_flow_bug=not args.fix_flow_bug,
+            gray=args.gray_upload)
+    elif args.gray_upload:
+        raise SystemExit("--gray_upload requires --on_the_fly_flow (the "
+                         "device-side broadcast lives in the extract program)")
 
     rgb_root = os.path.join(args.data_dir, args.dataset_name, "testing", "frames")
     op_root = os.path.join(args.data_dir, args.dataset_name, "testing", "flows")

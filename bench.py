@@ -6,11 +6,12 @@ Measures the BASELINE north-star — the full test-time path of
 window assembly + normalize + two-stream forward + memory addressing +
 per-frame PSNR/commit scoring, and per-video record assembly.
 
-Ped2-shaped: 12 videos x 180 frames of 256x256 RGB (synthesized, JPEG-encoded
-in RAM and *decoded in the timed loop* like the reference's pipeline does
-from disk) + per-video flow fields.  Reference baseline: 17.597 fps on the
-authors' GPU (img/ped2.png via BASELINE.md), wall-clock including data
-loading and their per-frame host PSNR loop.
+Ped2-shaped: 12 videos x 180 frames of 256x256 GRAYSCALE (ped2 is a
+grayscale dataset; synthesized, JPEG-encoded in RAM and *decoded in the
+timed loop* like the reference's pipeline does from disk) + per-video flow
+fields.  Reference baseline: 17.597 fps on the authors' GPU (img/ped2.png
+via BASELINE.md), wall-clock including data loading and their per-frame
+host PSNR loop.
 
 Dispatch discipline (this environment talks to the chip over a tunnel where
 every RPC can cost ~0.1-1 s): the 12 videos are scored in CHUNK-sized groups,
@@ -27,9 +28,12 @@ strictly MORE work than the reference protocol: the reference reads .flo
 files that FlowNet2 computed offline (outside its 17.597 fps measurement,
 `test_helper.py:485-486`), while here flow inference is inside the timed
 pass.  The extract program also edge-pads the video to the 192-frame
-bucket on device, so only the 180 true frames travel (425 MB/pass total,
--60% vs host flows).  BENCH_OTF_FLOW=0 restores the precomputed-flow
-upload path.
+bucket on device, so only the 180 true frames travel, and (BENCH_GRAY=1,
+default — ped2 is grayscale) only ONE u8 channel per frame travels, the
+device broadcasting to the 3 identical channels a color decode would
+produce: 142 MB/pass total, -86% vs host flows' 1.05 GB.  BENCH_OTF_FLOW=0
+restores the precomputed-flow upload path; BENCH_GRAY=0 the 3-channel
+(color-dataset) shape.
 
 Determinism discipline (CLAUDE.md): every program this file traces must
 already be in the persistent compile cache (~/.cache/ammcnet_jax) — the
@@ -87,6 +91,15 @@ COMPILE_DEADLINE = float(os.environ.get("BENCH_COMPILE_DEADLINE", "210"))
 # uploaded bytes per pass; falls back to host flows if the extract program
 # misses the compile deadline
 OTF_FLOW = os.environ.get("BENCH_OTF_FLOW", "1") == "1"
+# ped2 is a GRAYSCALE dataset (reference Dataset/readme; cv2's color decode
+# of its JPEGs yields 3 identical channels).  The bench synthesizes
+# grayscale JPEGs accordingly, decodes them grayscale, and in OTF mode
+# uploads (180,256,256,1) u8 per video — the extract program broadcasts to
+# 3 channels on device (bit-identical to uploading the 3-channel decode,
+# tested).  142 MB/pass instead of 425 MB over the tunnel whose sustained
+# H2D bandwidth is the end-to-end bottleneck.  BENCH_GRAY=0 restores
+# 3-channel synth + upload (the avenue/color-dataset shape).
+GRAY = os.environ.get("BENCH_GRAY", "1") == "1"
 # total wall budget for the whole bench: whatever setup/warm-up consumed,
 # the timed passes get the REMAINDER (min 60 s) and then the bench reports
 # the median of completed passes or the real partial measurement so far —
@@ -177,7 +190,8 @@ def synth_ped2_shaped(seed: int = 0):
     import cv2
 
     rng = np.random.default_rng(seed)
-    memo = f"/tmp/ammcnet_bench_synth_s{seed}_{FRAMES_PER_VIDEO}x{SIZE}.npz"
+    memo = (f"/tmp/ammcnet_bench_synth_s{seed}_{FRAMES_PER_VIDEO}x{SIZE}"
+            f"{'_gray' if GRAY else ''}.npz")
     jpegs = None
     try:
         with np.load(memo, allow_pickle=False) as z:
@@ -186,7 +200,8 @@ def synth_ped2_shaped(seed: int = 0):
         jpegs = None   # re-synthesize; never let a stale /tmp file kill bench
     if jpegs is None:
         jpegs = []
-        base = rng.integers(0, 200, (SIZE, SIZE, 3), np.uint8)
+        base = (rng.integers(0, 200, (SIZE, SIZE), np.uint8) if GRAY else
+                rng.integers(0, 200, (SIZE, SIZE, 3), np.uint8))
         for t in range(FRAMES_PER_VIDEO):
             frame = np.roll(base, t, axis=1)
             ok, buf = cv2.imencode(".jpg", frame)
@@ -200,7 +215,8 @@ def synth_ped2_shaped(seed: int = 0):
         except OSError:
             pass
     else:
-        rng.integers(0, 200, (SIZE, SIZE, 3), np.uint8)  # keep rng stream
+        rng.integers(0, 200, (SIZE, SIZE) if GRAY else (SIZE, SIZE, 3),
+                     np.uint8)  # keep rng stream aligned with the synth branch
     flows = (np.zeros((FRAMES_PER_VIDEO - 1, SIZE, SIZE, 2), np.float32)
              if OTF_FLOW else
              rng.normal(0, 0.02, (FRAMES_PER_VIDEO - 1, SIZE, SIZE, 2)
@@ -291,8 +307,11 @@ def main() -> None:
         # pad_to: only the 180 true frames travel; the extract program
         # edge-pads to the 192-frame bucket on device (another 6% off the
         # pass's uploaded bytes) and hands the scorer the padded pair
+        # gray=GRAY: ped2 is grayscale, so only ONE channel travels per
+        # frame; the extract program broadcasts u8 (t,h,w,1)->(t,h,w,3) on
+        # device before padding/FlowNet (bit-identical inputs, tested)
         extractor = make_otf_flow_extractor(flownet, flow_vars,
-                                            pad_to=t_pad)
+                                            pad_to=t_pad, gray=GRAY)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -312,6 +331,11 @@ def main() -> None:
                   ThreadPoolExecutor(max_workers=min(8, n_cpu)))
 
     def _decode_frame(b):
+        if GRAY:
+            # grayscale JPEG: one-channel decode; the device broadcasts to
+            # the 3 identical channels a color decode would produce
+            return cv2.imdecode(np.frombuffer(b, np.uint8),
+                                cv2.IMREAD_GRAYSCALE)[..., None]
         return cv2.cvtColor(
             cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR),
             cv2.COLOR_BGR2RGB)
@@ -323,8 +347,12 @@ def main() -> None:
         if not with_flows:
             # OTF mode: upload the TRUE frames only — the extract program
             # edge-pads to the bucket on device and supplies the flows
+            # (and, when GRAY, broadcasts the single uploaded channel to 3)
             return np.stack(frames), None
-        rgb, op, _ = pad_video_to_bucket(np.stack(frames), flows)
+        rgb = np.stack(frames)
+        if GRAY:  # host-flow fallback uploads the scorer's 3-channel shape
+            rgb = np.broadcast_to(rgb, (*rgb.shape[:-1], 3))
+        rgb, op, _ = pad_video_to_bucket(rgb, flows)
         return rgb, op
 
     n_windows = FRAMES_PER_VIDEO - 5 + 1
@@ -344,8 +372,12 @@ def main() -> None:
     batch_scorer = make_video_scorer(gen, variables,
                                      window_batch=WINDOW_BATCH)
     rgb_sds = jax.ShapeDtypeStruct((t_pad, SIZE, SIZE, 3), jnp.uint8)
-    rgb_exact_sds = jax.ShapeDtypeStruct((FRAMES_PER_VIDEO, SIZE, SIZE, 3),
-                                         jnp.uint8)
+    # the extract program's input is what actually travels: 1 channel for
+    # grayscale datasets, 3 for color (its output to the scorer is always
+    # the padded 3-channel device array, so the scorer programs are
+    # GRAY-oblivious)
+    rgb_exact_sds = jax.ShapeDtypeStruct(
+        (FRAMES_PER_VIDEO, SIZE, SIZE, 1 if GRAY else 3), jnp.uint8)
     op_sds = jax.ShapeDtypeStruct((t_pad - 1, SIZE, SIZE, 2),
                                   ml_dtypes.bfloat16)
 
@@ -421,7 +453,8 @@ def main() -> None:
         # shape, initializing the tunnel's bulk-transfer path
         if otf:
             z_rgb, z_op = extractor(jax.device_put(
-                np.zeros((FRAMES_PER_VIDEO, SIZE, SIZE, 3), np.uint8)))
+                np.zeros((FRAMES_PER_VIDEO, SIZE, SIZE, 1 if GRAY else 3),
+                         np.uint8)))
         else:
             z_rgb = jax.device_put(np.zeros((t_pad, SIZE, SIZE, 3),
                                             np.uint8))

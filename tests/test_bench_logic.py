@@ -79,7 +79,10 @@ class TestSynthMemo:
     def _tiny_shapes(self, monkeypatch):
         monkeypatch.setattr(bench, "FRAMES_PER_VIDEO", 6)
         monkeypatch.setattr(bench, "SIZE", 32)
-        self.memo = "/tmp/ammcnet_bench_synth_s0_6x32.npz"
+        # same key expression as synth_ped2_shaped (incl. the _gray suffix
+        # keyed on the BENCH_GRAY default)
+        self.memo = (f"/tmp/ammcnet_bench_synth_s0_6x32"
+                     f"{'_gray' if bench.GRAY else ''}.npz")
         import os
 
         if os.path.exists(self.memo):

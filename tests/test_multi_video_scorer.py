@@ -105,6 +105,101 @@ def test_otf_extractor_feeds_chunk_scorer(rng):
     assert np.isfinite(out_otf).all()
 
 
+@pytest.fixture(scope="module")
+def flownet64():
+    """One FlowNet-SD init shared by the gray-mode tests (each init +
+    extractor jit is a full-graph CPU compile on this 1-core host)."""
+    from ammcnet_aaai2021_tpu.models.flownet_sd import FlowNet2SD
+
+    flownet = FlowNet2SD(dtype=jnp.float32)
+    flow_vars = flownet.init({"params": jax.random.PRNGKey(1)},
+                             jnp.zeros((1, 64, 64, 3, 2)))
+    return flownet, flow_vars
+
+
+def test_gray_extractor_bit_equals_color(rng, flownet64):
+    """gray=True (ship one u8 channel, broadcast on device) must be
+    BIT-identical to the 3-channel extractor when the channels are equal —
+    the grayscale-dataset upload optimization (ped2) cannot change a single
+    score.  (The no-pad gray pair-return contract is covered end-to-end by
+    test_score_dataset_gray_upload, whose extractor has pad_to=None.)"""
+    from ammcnet_aaai2021_tpu.eval.infer import make_otf_flow_extractor
+
+    flownet, flow_vars = flownet64
+    size, t, bucket = 64, 6, 8
+    mono = rng.integers(0, 255, (t, size, size, 1), np.uint8)
+    video3 = np.broadcast_to(mono, (t, size, size, 3))
+
+    color = make_otf_flow_extractor(flownet, flow_vars, chunk=4,
+                                    pad_to=bucket)
+    gray = make_otf_flow_extractor(flownet, flow_vars, chunk=4,
+                                   pad_to=bucket, gray=True)
+    assert gray.gray and gray.returns_pair
+    r3, f3 = color(jnp.asarray(video3))
+    r1, f1 = gray(jnp.asarray(mono))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r3))
+    np.testing.assert_array_equal(np.asarray(f1, np.float32),
+                                  np.asarray(f3, np.float32))
+
+
+@pytest.fixture(scope="module")
+def gray_tree(tmp_path_factory):
+    """A grayscale frame tree (what a real ped2 test dir looks like: 2-D
+    JPEGs that cv2's color decode expands to 3 identical channels)."""
+    import os
+
+    import cv2
+
+    root = tmp_path_factory.mktemp("graydata")
+    g = np.random.default_rng(3)
+    for name in ("01", "02"):
+        fdir = root / "frames" / name
+        os.makedirs(fdir)
+        for t in range(10):
+            cv2.imwrite(str(fdir / f"{t:03d}.jpg"),
+                        g.integers(0, 255, (64, 64), np.uint8))
+    return str(root)
+
+
+def test_score_dataset_gray_upload(gray_tree, toydata, flownet64):
+    """score_dataset with a gray extractor scores a grayscale tree exactly
+    like the 3-channel extractor — and refuses color data loudly."""
+    import os
+
+    from ammcnet_aaai2021_tpu.eval.infer import (make_otf_flow_extractor,
+                                                 score_dataset)
+
+    cfg = NetConfig(dtype="float32", use_pallas_memory=False, n_embed=32)
+    gen = build_generator(cfg, per_sample_diff=True)
+    variables = gen.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((1, 64, 64, 12)),
+                         jnp.zeros((1, 64, 64, 6)))
+    flownet, flow_vars = flownet64
+    frames = os.path.join(gray_tree, "frames")
+    kwargs = dict(batch_size=4, image_size=64, scorer_mode="batch")
+    res_c, _ = score_dataset(
+        gen, variables, frames, frames, "graydata",
+        flow_extractor=make_otf_flow_extractor(flownet, flow_vars, chunk=4),
+        **kwargs)
+    res_g, _ = score_dataset(
+        gen, variables, frames, frames, "graydata",
+        flow_extractor=make_otf_flow_extractor(flownet, flow_vars, chunk=4,
+                                               gray=True),
+        **kwargs)
+    for key in ("rgb_img_pred_records", "rgb_fea_comm_records",
+                "op_img_pred_records", "op_fea_comm_records"):
+        for c, gr in zip(res_c[key], res_g[key]):
+            np.testing.assert_allclose(gr, c, rtol=1e-6, atol=1e-6)
+
+    color_frames = os.path.join(toydata, "toydata", "testing", "frames")
+    with pytest.raises(ValueError, match="not grayscale"):
+        score_dataset(
+            gen, variables, color_frames, color_frames, "toydata",
+            flow_extractor=make_otf_flow_extractor(flownet, flow_vars,
+                                                   chunk=4, gray=True),
+            **kwargs)
+
+
 def test_score_dataset_video_mode_matches_batch(toydata):
     """score_dataset(scorer_mode='video'): one whole-video dispatch per
     sub-video must reproduce the per-batch scorer's records."""
