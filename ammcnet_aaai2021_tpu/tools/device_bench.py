@@ -37,6 +37,15 @@ def main(argv=None) -> None:
                    help="windows per batch; 192 = whole padded video in "
                         "one batch (745 windows/s vs 584 at 64)")
     p.add_argument("--passes", type=int, default=5)
+    p.add_argument("--otf", action="store_true",
+                   help="also time the bench's on-device FlowNet-SD flow "
+                        "extraction (grayscale u8 -> padded (rgb, flows)) "
+                        "chained into the chunk scorer — the device-resident "
+                        "ceiling of the FULL OTF pipeline, and (by "
+                        "difference vs the score-only passes) the extract "
+                        "program's own cost")
+    p.add_argument("--true_frames", type=int, default=180,
+                   help="true (pre-padding) frames per video in --otf mode")
     args = p.parse_args(argv)
 
     import jax
@@ -105,7 +114,7 @@ def main(argv=None) -> None:
         hb(f"pass {i + 1}/{args.passes}: {dt:.3f}s "
            f"({args.chunk * n_windows / dt:.0f} windows/s)")
     fps = statistics.median(rates)
-    print(json.dumps({
+    out = {
         "metric": "device_resident_frames_per_sec",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
@@ -113,7 +122,66 @@ def main(argv=None) -> None:
                                  * args.chunk * n_windows, 1),
         "config": {"chunk": args.chunk, "frames": args.frames,
                    "size": args.size, "window_batch": args.window_batch},
-    }))
+    }
+
+    if args.otf:
+        # The bench's OTF path, device-resident: u8 gray frames already in
+        # HBM -> extract program (broadcast to 3ch, edge-pad to the bucket,
+        # FlowNet-SD over all consecutive pairs, flow normalize) -> the same
+        # chunk scorer.  The extract program is the exact one bench.py runs
+        # (cache hit); only the tiny u8 PRNG synth is a new program shape.
+        import ml_dtypes  # noqa: F401  (parity with bench.py's import)
+
+        from ..eval.infer import make_otf_flow_extractor
+        from ..models.flownet_sd import FlowNet2SD
+
+        hb("init FlowNet-SD on CPU; uploading bf16 weights")
+        flownet = FlowNet2SD()
+        with jax.default_device(jax.devices("cpu")[0]):
+            flow_vars = jax.jit(flownet.init)(
+                {"params": jax.random.PRNGKey(1)},
+                jnp.zeros((1, 64, 64, 3, 2)))
+        import numpy as _np
+        flow_vars = jax.device_put(jax.tree.map(
+            lambda a: (_np.asarray(a).astype("bfloat16")
+                       if _np.asarray(a).dtype == _np.float32
+                       else _np.asarray(a)), flow_vars))
+        extractor = make_otf_flow_extractor(flownet, flow_vars,
+                                            pad_to=args.frames, gray=True)
+
+        @jax.jit
+        def synth_u8(key):
+            return jax.random.randint(
+                key, (args.true_frames, args.size, args.size, 1), 0, 255,
+                jnp.uint8)
+
+        raw = [synth_u8(jax.random.PRNGKey(100 + i))
+               for i in range(args.chunk)]
+        jax.block_until_ready(raw)
+        hb(f"{args.chunk} u8 gray videos generated on device")
+
+        def otf_pass():
+            pairs = [extractor(r) for r in raw]
+            return np.asarray(scorer(tuple(r for r, _ in pairs),
+                                     tuple(o for _, o in pairs)))
+
+        otf_pass()  # warm (extract program load; scorer already warm)
+        hb("otf warm execute done (fetch barrier)")
+        otf_rates = []
+        for i in range(args.passes):
+            t = time.perf_counter()
+            otf_pass()
+            dt = time.perf_counter() - t
+            otf_rates.append(frames_per_pass / dt)
+            hb(f"otf pass {i + 1}/{args.passes}: {dt:.3f}s "
+               f"({frames_per_pass / dt:.0f} fps)")
+        otf_fps = statistics.median(otf_rates)
+        # extract cost per pass, by difference (score-only vs extract+score)
+        extract_s = frames_per_pass / otf_fps - frames_per_pass / fps
+        out["otf_frames_per_sec"] = round(otf_fps, 1)
+        out["extract_seconds_per_pass"] = round(extract_s, 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
