@@ -22,17 +22,56 @@ import jax
 T = TypeVar("T")
 
 
+def warm_collectives() -> None:
+    """Establish the cross-process collective context while ranks are aligned.
+
+    XLA's CPU (gloo) collective context is created lazily at the FIRST
+    collective, with a fixed ~30 s rendezvous deadline — and a deadline
+    failure POISONS the context for the life of the process (measured:
+    every later collective replays the cached DEADLINE_EXCEEDED instantly,
+    so retrying is useless).  An ESTABLISHED context, by contrast, tolerates
+    arbitrary inter-rank skew (measured: a broadcast where one rank arrives
+    45 s late just blocks and completes).
+
+    Therefore the one tiny collective below must run at a point where rank
+    alignment is guaranteed — immediately after ``jax.distributed
+    .initialize``, whose coordination barrier releases all ranks together.
+    Any compute between that barrier and the first collective (imports,
+    model init, compiles) convoys on loaded hosts and re-opens the window.
+    No-op in single-process runs; idempotent and ~ms when already warm.
+    """
+    if jax.process_count() == 1:
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    multihost_utils.broadcast_one_to_all(np.zeros(4, np.uint8))
+
+
+def initialize(**kwargs) -> None:
+    """``jax.distributed.initialize`` + immediate :func:`warm_collectives`.
+
+    The recommended entry for multi-host runs: it leaves no window between
+    the initialize barrier (ranks aligned) and collective-context creation
+    (see :func:`warm_collectives` for why that window is fatal on slow or
+    contended hosts).  Accepts exactly ``jax.distributed.initialize``'s
+    keyword arguments (coordinator_address, num_processes, process_id, ...).
+    """
+    jax.distributed.initialize(**kwargs)
+    warm_collectives()
+
+
 def agree_on_run_token() -> str:
     """All ranks agree on one fresh random token (rank 0's draw).
 
-    Called at the START of an evaluation, when ranks are aligned (they just
-    left ``jax.distributed.initialize`` together) — so the one tiny
-    ``broadcast_one_to_all`` collective is safe even on backends whose
-    collective-context init has a short deadline (CPU gloo: ~30 s).  The
-    token names a fresh per-run shard directory, which is what makes the
-    END of the run collective-free: rank 0 rendezvouses by polling for the
-    shard FILES (:func:`wait_for_shards`), which tolerates ranks finishing
-    minutes apart and can never merge a previous run's stale shards.
+    Called at the START of an evaluation.  The one tiny
+    ``broadcast_one_to_all`` collective here is safe provided the collective
+    context already exists (:func:`warm_collectives` — the context, once
+    established, tolerates ranks arriving minutes apart).  The token names a
+    fresh per-run shard directory, which is what makes the END of the run
+    collective-free: rank 0 rendezvouses by polling for the shard FILES
+    (:func:`wait_for_shards`), which tolerates ranks finishing minutes apart
+    and can never merge a previous run's stale shards.
     """
     import uuid
 
@@ -43,7 +82,22 @@ def agree_on_run_token() -> str:
     from jax.experimental import multihost_utils
 
     local = np.frombuffer(uuid.uuid4().bytes, np.uint8)
-    tok = multihost_utils.broadcast_one_to_all(local)
+    try:
+        tok = multihost_utils.broadcast_one_to_all(local)
+    except Exception as e:  # noqa: BLE001 — re-raise with the actual fix
+        msg = str(e)
+        if "DEADLINE_EXCEEDED" in msg or "Gloo context" in msg:
+            raise RuntimeError(
+                "cross-process collective context initialization failed — "
+                "the ranks reached their first collective more than ~30 s "
+                "apart (XLA's gloo rendezvous deadline), and a failed "
+                "context cannot be retried within this process.  Establish "
+                "the context while ranks are still aligned: call "
+                "ammcnet_aaai2021_tpu.parallel.multihost.initialize(...) "
+                "instead of jax.distributed.initialize(...), or call "
+                "multihost.warm_collectives() immediately after it."
+            ) from e
+        raise
     return bytes(np.asarray(tok).tolist()).hex()
 
 

@@ -92,6 +92,14 @@ def parser_args(argv=None):
 
 def main(argv=None) -> dict:
     args = parser_args(argv)
+    if jax.process_count() > 1:
+        # belt-and-braces: establish the cross-process collective context
+        # BEFORE any heavy per-rank work (model build, compiles) can skew
+        # the ranks past gloo's ~30 s context-init deadline.  Callers should
+        # still prefer multihost.initialize() — see warm_collectives().
+        from ..parallel.multihost import warm_collectives
+
+        warm_collectives()
     from ..utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -41,6 +41,14 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    if jax.process_count() > 1:
+        # establish the cross-process collective context before per-rank
+        # model builds can skew the ranks past gloo's ~30 s context-init
+        # deadline (see parallel.multihost.warm_collectives)
+        from ..parallel.multihost import warm_collectives
+
+        warm_collectives()
+
     from ..configs import FUSION_LAMBDAS
     from ..eval.gt import GroundTruthLoader
     from ..eval.infer import score_dataset

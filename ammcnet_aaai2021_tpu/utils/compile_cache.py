@@ -24,11 +24,46 @@ from __future__ import annotations
 import os
 
 
+def _machine_fingerprint() -> str:
+    """Stable id for THIS host's CPU feature set.
+
+    XLA:CPU cache entries are AOT executables compiled for the build host's
+    exact machine features; the cache key does NOT include them, so a cache
+    dir shared across machines serves mismatched AOT code (cpu_aot_loader
+    warns 'could lead to execution errors such as SIGILL').  Observed live
+    2026-08-18: this VM migrated overnight and every CPU entry from the
+    previous host (+prefer-no-scatter/+prefer-no-gather, different avx set)
+    started loading with that error.  TPU entries are unaffected (compiled
+    for the TPU, not the host).
+    """
+    import hashlib
+    import platform
+
+    bits = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    bits += line.strip()
+                    break
+    except OSError:
+        pass
+    return hashlib.md5(bits.encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache(cache_dir: str = "") -> str:
     import jax
 
     cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or os.path.expanduser("~/.cache/ammcnet_jax"))
+    platforms = getattr(jax.config, "jax_platforms", None) or ""
+    if set(platforms.split(",")) == {"cpu"}:
+        # CPU-only process: every entry it writes/reads is a host-machine
+        # AOT executable — key the directory by the machine so a migrated
+        # VM (or a different CI host) never executes foreign AOT code.
+        # TPU processes keep the shared dir: their hot entries are TPU
+        # executables whose validity doesn't depend on the host CPU.
+        cache_dir = os.path.join(cache_dir, f"cpu-{_machine_fingerprint()}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -19,13 +19,20 @@ import jax
 # cpu-only BEFORE any backend init: the axon hook's jax_platforms override
 # would otherwise make this worker initialize the TPU tunnel (see conftest)
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(coordinator_address="127.0.0.1:23517",
-                           num_processes=2, process_id=int(sys.argv[1]))
+
+# heavy imports BEFORE the distributed barrier: on a contended 1-core host
+# two ranks importing concurrently convoy tens of seconds apart, and any
+# skew between the initialize barrier and the first collective risks gloo's
+# ~30 s context-init deadline (see multihost.warm_collectives)
+from ammcnet_aaai2021_tpu.runners.run_test import main
+from ammcnet_aaai2021_tpu.parallel import multihost
+
+# initialize + immediate collective warm-up while ranks are aligned
+multihost.initialize(coordinator_address="127.0.0.1:23517",
+                     num_processes=2, process_id=int(sys.argv[1]))
 # NOTE: local_devices, not devices -- jax.devices() is the GLOBAL list in
 # multi-process runs and [0] would be rank 0's device on every rank
 jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
-
-from ammcnet_aaai2021_tpu.runners.run_test import main
 
 ret = main(["--dataset_name", "toydata", "--data_dir", sys.argv[2],
             "--save_dir", sys.argv[3], "--batch_size", "2",

@@ -159,3 +159,28 @@ class TestRecordShardMerge:
         a, b = agree_on_run_token(), agree_on_run_token()
         assert a != b and len(a) == 32
         int(a, 16)  # valid hex
+
+    def test_warm_collectives_single_process_noop(self):
+        # must not touch any backend/collective machinery single-process
+        from ammcnet_aaai2021_tpu.parallel.multihost import warm_collectives
+
+        warm_collectives()
+
+    def test_cpu_cache_dir_is_machine_keyed(self, tmp_path):
+        # CPU-only processes must never share AOT executables across
+        # machines (cpu_aot_loader SIGILL risk after a VM migration); the
+        # suite runs under jax_platforms=cpu so the subdir must be applied
+        from ammcnet_aaai2021_tpu.utils.compile_cache import (
+            _machine_fingerprint, enable_compilation_cache)
+
+        import os
+
+        got = enable_compilation_cache(str(tmp_path / "cache"))
+        fp = _machine_fingerprint()
+        assert got == str(tmp_path / "cache" / f"cpu-{fp}")
+        assert os.path.isdir(got)
+        assert len(fp) == 10
+        # fingerprint is stable within one host
+        assert _machine_fingerprint() == fp
+        # restore the suite-wide cache dir (conftest set it at import)
+        enable_compilation_cache()
