@@ -257,7 +257,25 @@ def main() -> None:
 
     from ammcnet_aaai2021_tpu.utils.compile_cache import enable_compilation_cache
 
-    enable_compilation_cache()
+    cache_dir = enable_compilation_cache()
+    # pre-flight cache presence (ADVICE r2): a host reset can WIPE the
+    # persistent cache (observed 2026-08-19) — say so up front, because a
+    # cold cache turns the AOT warm-up into fresh remote compiles and the
+    # eventual number/fallback is then about compile latency, not the
+    # pipeline.  Diagnostic only: the deadline+fallback+watchdog chain
+    # already guarantees the JSON line either way.
+    try:
+        progs = {f.split("-")[0] for f in os.listdir(cache_dir)
+                 if f.endswith("-cache")}
+        need = {"jit_init", "jit_score_chunk", "jit_score_windows"}
+        if OTF_FLOW:
+            need.add("jit_extract")
+        missing = sorted(need - progs)
+        heartbeat(f"compile cache: {len(progs)} program kinds at {cache_dir}"
+                  + (f"; COLD for {missing} — expect fresh remote compiles"
+                     if missing else "; all bench programs present"))
+    except OSError as e:
+        heartbeat(f"compile cache unreadable ({e}); proceeding")
 
     from ammcnet_aaai2021_tpu.configs import NetConfig
     from ammcnet_aaai2021_tpu.eval.infer import (
