@@ -33,44 +33,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.datasets import VideoIndex
-from ..ops.metrics import PER_FRAME_METRICS, psnr_per_frame
+from ..ops.metrics import (OP_PER_FRAME_METRICS, PER_FRAME_METRICS,
+                           psnr_per_frame)
+
+# Every scorer factory below passes the model weights into the jitted
+# program as PARAMETERS, not baked-in HLO constants: the traced module
+# stays small (MBs, not 100+ MB), the remote compile service turns it
+# around faster, and the persistent-cache key is stable across processes
+# regardless of the weights' values.
 
 
-def make_twostream_scorer(generator, variables,
-                          rgb_channels: int = 3, op_channels: int = 2
-                          ) -> Callable:
-    """Builds the jitted ``(rgb_clip, op_clip) -> 4 per-frame vectors`` fn.
-
-    rgb_clip: (b, h, w, t_rgb*3) with the last frame the prediction target;
-    op_clip:  (b, h, w, t_op*2) likewise.
-    """
-
-    def score(vars_, rgb_clip: jax.Array, op_clip: jax.Array):
-        rgb_input = rgb_clip[..., :-rgb_channels]
-        rgb_target = rgb_clip[..., -rgb_channels:]
-        op_input = op_clip[..., :-op_channels]
-        op_target = op_clip[..., -op_channels:]
-        rgb_pred, op_pred, diffs, _ = generator.apply(
-            vars_, rgb_input, op_input, False)
-        rgb_diff, op_diff = diffs
-        return (
-            psnr_per_frame(rgb_pred, rgb_target),
-            jnp.broadcast_to(rgb_diff, rgb_pred.shape[:1]).astype(jnp.float32),
-            psnr_per_frame(op_pred, op_target),
-            jnp.broadcast_to(op_diff, op_pred.shape[:1]).astype(jnp.float32),
-        )
-
-    # weights enter the program as PARAMETERS, not baked-in HLO constants:
-    # the traced module stays small (MBs, not 100+ MB), the remote compile
-    # service turns it around faster, and the persistent-cache key is stable
-    # across processes regardless of the weights' values
-    jitted = jax.jit(score)
-
-    def run(rgb_clip, op_clip):
-        return jitted(variables, rgb_clip, op_clip)
-
-    run.jitted, run.variables = jitted, variables  # AOT warm-up hook
-    return run
+def _resolve_op_metric(metric: str, op_metric: Optional[str]):
+    """Op-stream metric fn: ``op_metric`` overrides (flow-native 'epe'
+    allowed); None inherits the rgb-stream metric, reference behavior."""
+    return OP_PER_FRAME_METRICS[op_metric or metric]
 
 
 def make_video_scorer(generator, variables,
@@ -78,6 +54,7 @@ def make_video_scorer(generator, variables,
                       window_batch: int = 16,
                       rgb_channels: int = 3, op_channels: int = 2,
                       mesh=None, metric: str = "psnr",
+                      op_metric: Optional[str] = None,
                       reproduce_op_psnr_bug: bool = False) -> Callable:
     """Video-resident scorer: the whole sub-video lives on device (uint8
     frames + float flows, uploaded ONCE); each call gathers a batch of
@@ -104,6 +81,7 @@ def make_video_scorer(generator, variables,
         return jnp.transpose(frames, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
 
     metric_fn = PER_FRAME_METRICS[metric]
+    op_metric_fn = _resolve_op_metric(metric, op_metric)
 
     def score_windows(vars_, video_rgb_u8: jax.Array, video_op: jax.Array,
                       idx: jax.Array):
@@ -123,7 +101,7 @@ def make_video_scorer(generator, variables,
         if reproduce_op_psnr_bug:
             op_score = op_psnr_reference_bug(op_pred, op_input)
         else:
-            op_score = metric_fn(op_pred, op_target.astype(jnp.float32))
+            op_score = op_metric_fn(op_pred, op_target.astype(jnp.float32))
         return (
             metric_fn(rgb_pred, rgb_target),
             jnp.broadcast_to(rgb_diff, rgb_pred.shape[:1]).astype(jnp.float32),
@@ -131,7 +109,6 @@ def make_video_scorer(generator, variables,
             jnp.broadcast_to(op_diff, op_pred.shape[:1]).astype(jnp.float32),
         )
 
-    # weights as program parameters, not HLO constants (see make_twostream_scorer)
     if mesh is None:
         jitted = jax.jit(score_windows)
 
@@ -161,6 +138,7 @@ def make_full_video_scorer(generator, variables,
                            window_batch: int = 32,
                            rgb_channels: int = 3, op_channels: int = 2,
                            metric: str = "psnr",
+                           op_metric: Optional[str] = None,
                            reproduce_op_psnr_bug: bool = False
                            ) -> Callable:
     """Whole-video scorer: ONE jit call scores every sliding window of a
@@ -184,6 +162,7 @@ def make_full_video_scorer(generator, variables,
         return jnp.transpose(frames, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
 
     metric_fn = PER_FRAME_METRICS[metric]
+    op_metric_fn = _resolve_op_metric(metric, op_metric)
 
     def score_batch(vars_, video_rgb, video_op, idx):
         rgb_clip = stack_windows(video_rgb, idx, clip_len_rgb)
@@ -197,7 +176,7 @@ def make_full_video_scorer(generator, variables,
         if reproduce_op_psnr_bug:
             op_score = op_psnr_reference_bug(op_pred, op_input)
         else:
-            op_score = metric_fn(op_pred, op_target.astype(jnp.float32))
+            op_score = op_metric_fn(op_pred, op_target.astype(jnp.float32))
         return jnp.stack([
             metric_fn(rgb_pred, rgb_target),
             jnp.broadcast_to(rgb_diff, rgb_pred.shape[:1]).astype(jnp.float32),
@@ -223,7 +202,7 @@ def make_full_video_scorer(generator, variables,
         # (n_batches, 4, wb) -> (4, n_batches*wb)
         return jnp.transpose(out, (1, 0, 2)).reshape(4, -1)
 
-    # weights as program parameters, not HLO constants (see make_twostream_scorer)
+    # weights as program parameters, not HLO constants (module note above)
     def run(v_rgb, v_op):
         return score_video(variables, v_rgb, v_op)
 
@@ -234,7 +213,8 @@ def make_full_video_scorer(generator, variables,
 def make_multi_video_scorer(generator, variables,
                             clip_len_rgb: int = 5, clip_len_op: int = 4,
                             window_batch: int = 32,
-                            rgb_channels: int = 3, op_channels: int = 2
+                            rgb_channels: int = 3, op_channels: int = 2,
+                            apply_fn: Optional[Callable] = None
                             ) -> Callable:
     """Multi-video scorer: ONE jit call scores every sliding window of a
     whole CHUNK of (equal-length, bucket-padded) videos.
@@ -254,7 +234,15 @@ def make_multi_video_scorer(generator, variables,
     Returns ``score_chunk(rgbs: tuple[(T,h,w,3) u8], ops: tuple[(T-1,h,w,2)])
     -> (n_videos, 4, n_windows_padded) f32`` jitted; all videos in a call
     must share one padded length (:func:`pad_video_to_bucket`).
+
+    ``apply_fn(vars_, rgb_input, op_input) -> (rgb_pred, op_pred, diffs, _)``
+    overrides the generator forward — e.g. the folded two-stream stack
+    (``models.folded``), whose ``vars_`` is a (stream_vars, bridge_vars)
+    pair; pass those as ``variables`` then.
     """
+    if apply_fn is None:
+        def apply_fn(vars_, rgb_input, op_input):
+            return generator.apply(vars_, rgb_input, op_input, False)
 
     def stack_windows(video: jax.Array, idx: jax.Array, t: int) -> jax.Array:
         widx = idx[:, None] + jnp.arange(t)[None, :]
@@ -268,8 +256,7 @@ def make_multi_video_scorer(generator, variables,
         rgb = (rgb_clip.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         rgb_input, rgb_target = rgb[..., :-rgb_channels], rgb[..., -rgb_channels:]
         op_input, op_target = op_clip[..., :-op_channels], op_clip[..., -op_channels:]
-        rgb_pred, op_pred, diffs, _ = generator.apply(
-            vars_, rgb_input, op_input, False)
+        rgb_pred, op_pred, diffs, _ = apply_fn(vars_, rgb_input, op_input)
         rgb_diff, op_diff = diffs
         return jnp.stack([
             psnr_per_frame(rgb_pred, rgb_target),
@@ -300,7 +287,7 @@ def make_multi_video_scorer(generator, variables,
         out = jax.lax.map(per_video, (video_rgb, video_op))  # (n, nb, 4, wb)
         return jnp.transpose(out, (0, 2, 1, 3)).reshape(n, 4, -1)
 
-    # weights as program parameters, not HLO constants (see make_twostream_scorer)
+    # weights as program parameters, not HLO constants (module note above)
     def run(rgbs, ops):
         return score_chunk(variables, rgbs, ops)
 
@@ -378,7 +365,7 @@ def make_otf_flow_extractor(flow_net, flow_vars,
         return (video_rgb_u8, flows) if returns_pair else flows
 
     # FlowNet weights (~45M params) as program parameters, not 180MB of
-    # baked-in HLO constants (see make_twostream_scorer)
+    # baked-in HLO constants (module note above)
     def run(video_rgb_u8):
         return extract(flow_vars, video_rgb_u8)
 
@@ -573,6 +560,7 @@ def score_dataset(
     logger=None,
     flow_extractor: Optional[Callable] = None,
     metric: str = "psnr",
+    op_metric: Optional[str] = None,
     batch_commit: bool = False,
     reproduce_op_psnr_bug: bool = False,
     use_native_loader: bool = False,
@@ -622,12 +610,12 @@ def score_dataset(
     if scorer_mode == "video":
         scorer = make_full_video_scorer(
             generator, variables, clip_len_rgb, clip_len_op,
-            window_batch=window_batch, metric=metric,
+            window_batch=window_batch, metric=metric, op_metric=op_metric,
             reproduce_op_psnr_bug=reproduce_op_psnr_bug)
     elif scorer_mode == "batch":
         scorer = make_video_scorer(
             generator, variables, clip_len_rgb, clip_len_op,
-            window_batch=window_batch, metric=metric,
+            window_batch=window_batch, metric=metric, op_metric=op_metric,
             reproduce_op_psnr_bug=reproduce_op_psnr_bug)
     else:
         raise ValueError(f"unknown scorer_mode {scorer_mode!r} "

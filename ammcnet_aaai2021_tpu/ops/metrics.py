@@ -44,10 +44,18 @@ def mse_error(gen: jax.Array, gt: jax.Array) -> jax.Array:
     return jnp.mean(jnp.square(gt.astype(jnp.float32) - gen.astype(jnp.float32))) * 256.0
 
 
+def epe_per_frame(gen_flow: jax.Array, gt_flow: jax.Array) -> jax.Array:
+    """Per-frame mean endpoint error over (b, h, w, 2) flows — the
+    flow-native op-stream quality metric (reference utils.py:151-152
+    vectorized over the batch axis)."""
+    d = gt_flow.astype(jnp.float32) - gen_flow.astype(jnp.float32)
+    return jnp.mean(jnp.sqrt(jnp.sum(jnp.square(d), axis=-1) + 1e-20),
+                    axis=(1, 2))
+
+
 def epe_error(gen_flow: jax.Array, gt_flow: jax.Array) -> jax.Array:
     """Mean endpoint error over (b, h, w, 2) flows (utils.py:151-152)."""
-    d = gt_flow.astype(jnp.float32) - gen_flow.astype(jnp.float32)
-    return jnp.mean(jnp.sqrt(jnp.sum(jnp.square(d), axis=-1) + 1e-20))
+    return jnp.mean(epe_per_frame(gen_flow, gt_flow))
 
 
 def _gaussian_window(size: int, sigma: float) -> jax.Array:
@@ -104,6 +112,11 @@ PER_FRAME_METRICS = {
     "mse": mse_per_frame,
     "ssim": ssim_per_frame,
 }
+
+# op-stream-only metrics: EPE is flow-native (2-channel displacement
+# fields), so it is selectable only for the motion stream (run_test
+# --op_metric epe); the rgb stream keeps the reference's psnr/mse/ssim map
+OP_PER_FRAME_METRICS = {**PER_FRAME_METRICS, "epe": epe_per_frame}
 
 
 def gray_diff(gen: jax.Array, gt: jax.Array) -> jax.Array:

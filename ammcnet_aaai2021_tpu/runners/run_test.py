@@ -53,6 +53,12 @@ def parser_args(argv=None):
                    choices=["psnr", "mse", "ssim"],
                    help="per-frame prediction-quality metric "
                         "(reference loss_func_mapp)")
+    p.add_argument("--op_metric", default="",
+                   choices=["", "psnr", "mse", "ssim", "epe"],
+                   help="motion-stream metric override; 'epe' is the "
+                        "flow-native endpoint error (reference "
+                        "utils.py:151-152) — op records only, the headline "
+                        "fused score uses rgb records")
     p.add_argument("--lam_fea_comm", type=float, default=None)
     p.add_argument("--lam_smooth", type=float, default=None)
     p.add_argument("--image_size", type=int, default=None)
@@ -214,6 +220,7 @@ def main(argv=None) -> dict:
         window_batch=args.window_batch or None, image_size=size,
         reproduce_flow_bug=not args.fix_flow_bug, logger=logger,
         flow_extractor=flow_extractor, metric=args.metric,
+        op_metric=args.op_metric or None,
         batch_commit=args.batch_commit,
         reproduce_op_psnr_bug=args.reproduce_op_psnr_bug,
         use_native_loader=args.native_loader,

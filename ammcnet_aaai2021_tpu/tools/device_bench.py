@@ -46,6 +46,11 @@ def main(argv=None) -> None:
                         "program's own cost")
     p.add_argument("--true_frames", type=int, default=180,
                    help="true (pre-padding) frames per video in --otf mode")
+    p.add_argument("--folded", action="store_true",
+                   help="run the folded two-stream forward (models/folded: "
+                        "both streams' convs as ONE vmapped/grouped stack) "
+                        "instead of the unfolded generator — the PERF.md "
+                        "'fold the encoders' lever, measured")
     args = p.parse_args(argv)
 
     import jax
@@ -92,8 +97,28 @@ def main(argv=None) -> None:
 
     import numpy as np
 
-    scorer = make_multi_video_scorer(gen, variables,
-                                     window_batch=args.window_batch)
+    if args.folded:
+        from ..models.folded import (fold_twostream_variables,
+                                     make_folded_forward)
+
+        fwd = make_folded_forward(embed_dim=cfg.embed_dim,
+                                  n_embed=cfg.n_embed, k=cfg.k,
+                                  dtype=jnp.bfloat16, per_sample_diff=True)
+
+        def folded_apply(vars_, rgb_input, op_input):
+            rgb_pred, op_pred, diffs = fwd(vars_[0], vars_[1],
+                                           rgb_input, op_input)
+            return rgb_pred, op_pred, diffs, None
+
+        folded_vars = fold_twostream_variables(variables)
+        jax.block_until_ready(folded_vars)
+        hb("variables folded (stream-stacked)")
+        scorer = make_multi_video_scorer(gen, folded_vars,
+                                         window_batch=args.window_batch,
+                                         apply_fn=folded_apply)
+    else:
+        scorer = make_multi_video_scorer(gen, variables,
+                                         window_batch=args.window_batch)
     rgbs = tuple(r for r, _ in videos)
     ops = tuple(o for _, o in videos)
     # warm execute: absorbs compile (persistent cache) + program load.

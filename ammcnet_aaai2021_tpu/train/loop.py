@@ -116,7 +116,14 @@ def train_loop(
 ):
     """Generic loop used by both stages.  ``psnr_fn(state, batch)`` computes
     the train-PSNR the reference logs every step_log (train_helper.py:347-386).
-    Returns the final state."""
+    Returns the final state.
+
+    Scalar logging is DEFERRED one log period (see ``flush_pending``), so
+    ``step_summary`` should be a multiple of ``step_log`` (the reference's
+    100/10 cadence is) — summary scalars are taken from the coinciding log
+    step's stack."""
+    import jax.numpy as jnp
+
     writer = ScalarWriter(os.path.join(run_dir, "summary"))
     ckpt_dir = os.path.join(run_dir, "training", "checkpoints")
     t_data0 = time.time()
@@ -125,32 +132,58 @@ def train_loop(
     # host-side mirror avoids a device sync per iteration (reading the scalar
     # costs a full RPC round-trip on remote-device setups)
     step = int(state.step)
+    t_period = time.time()
+
+    # Deferred metric fetch: at each log step the scalars stack into ONE
+    # device array (async dispatch), and the PREVIOUS log step's stack is
+    # fetched — by then it has had a whole log period of compute to ride
+    # down; one RPC fetches all scalars at once.  A per-scalar float() here
+    # would cost len(metrics) D2H round-trips per log step (8 scalars x
+    # 8k log steps x 0.2-6 s RTT on this tunnel = hours on an 80k run).
+    pending = None  # (step, keys, device_array, steps/s, data_frac)
+
+    def flush_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        pstep, keys, arr, rate, data_frac = pending
+        pending = None
+        vals = dict(zip(keys, np.asarray(arr).astype(np.float64).tolist()))
+        if logger:
+            comps = ", ".join(f"{k}={v:.4f}" for k, v in vals.items())
+            logger.info("step %d | %s | %.1f steps/s data_stall=%.0f%%",
+                        pstep, comps, rate, 100 * data_frac)
+        if pstep % step_summary == 0:
+            writer.scalars(pstep, vals)
+            writer.scalars(pstep, {"steps_per_sec": rate,
+                                   "data_stall_frac": data_frac})
+
     for batch in prefetch(batch_iter):
         data_times.append(time.time() - t_data0)
         t0 = time.time()
         state, metrics = train_step(state, batch, flow_vars)
         step += 1
-        if step % step_log == 0:
-            jax.block_until_ready(metrics)
         step_times.append(time.time() - t0)
         if step % step_log == 0:
-            vals = {k: float(v) for k, v in metrics.items()}
+            flush_pending()  # previous log step's scalars, one period late
+            keys = sorted(metrics)
+            scalars = [metrics[k] for k in keys]
             if psnr_fn is not None:
-                vals["train_psnr"] = float(psnr_fn(state, batch))
-            if logger:
-                comps = ", ".join(f"{k}={v:.4f}" for k, v in vals.items())
-                logger.info(
-                    "step %d | %s | step_time=%.3fs data_time=%.3fs",
-                    step, comps, np.mean(step_times[-step_log:]),
-                    np.mean(data_times[-step_log:]))
-        if step % step_summary == 0:
-            writer.scalars(step, {k: float(v) for k, v in metrics.items()})
-            if vis_fn is not None:
-                # image grids of predictions vs targets (flow rendered
-                # through the color wheel), reference train_helper.py:388-411
-                for tag, images in vis_fn(state, batch).items():
-                    writer.image_grid(step, tag, np.asarray(images))
+                keys.append("train_psnr")
+                scalars.append(psnr_fn(state, batch))
+            now = time.time()
+            period = max(now - t_period, 1e-9)
+            rate = step_log / period
+            data_frac = float(np.sum(data_times[-step_log:])) / period
+            t_period = now
+            pending = (step, keys, jnp.stack(scalars), rate, data_frac)
+        if step % step_summary == 0 and vis_fn is not None:
+            # image grids of predictions vs targets (flow rendered
+            # through the color wheel), reference train_helper.py:388-411
+            for tag, images in vis_fn(state, batch).items():
+                writer.image_grid(step, tag, np.asarray(images))
         if step % step_save == 0:
+            flush_pending()
             save_checkpoint(ckpt_dir, step, jax.device_get(
                 jax.tree.map(np.asarray, _state_to_pytree(state))))
             if logger:
@@ -158,6 +191,7 @@ def train_loop(
         t_data0 = time.time()
         if step >= iterations:
             break
+    flush_pending()
     writer.close()
     return state
 

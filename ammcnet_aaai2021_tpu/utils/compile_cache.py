@@ -35,6 +35,21 @@ def _machine_fingerprint() -> str:
     previous host (+prefer-no-scatter/+prefer-no-gather, different avx set)
     started loading with that error.  TPU entries are unaffected (compiled
     for the TPU, not the host).
+
+    Fingerprint covers the ISA flag list AND the family/model/stepping
+    identity: observed 2026-08-19, a migration changed LLVM's detected
+    microarch (entries compiled +prefer-no-scatter/+prefer-no-gather — CPU
+    *tuning* preferences keyed off the detected model, not off any cpuinfo
+    flag) while the flags line hashed identically, so the old fingerprint
+    collided across the migration.
+
+    NOTE: cpu_aot_loader's "+prefer-no-gather is not supported on the host
+    machine ... could lead to SIGILL" error-log is a FALSE POSITIVE here and
+    harmless: those are compile-side LLVM tuning flags that never appear in
+    the runtime host-feature probe, so entries compiled seconds earlier ON
+    THE SAME HOST log it too (verified 2026-08-19: warm dryrun re-logs 854
+    of them yet loads every entry and runs 6x faster than cold).  Real
+    migrations are covered by the identity lines above.
     """
     import hashlib
     import platform
@@ -42,10 +57,14 @@ def _machine_fingerprint() -> str:
     bits = platform.machine()
     try:
         with open("/proc/cpuinfo") as fh:
+            seen = set()
             for line in fh:
-                if line.startswith(("flags", "Features")):
+                key = line.split(":")[0].strip()
+                if key in ("flags", "Features", "model name", "cpu family",
+                           "model", "stepping", "CPU implementer",
+                           "CPU part") and key not in seen:
+                    seen.add(key)
                     bits += line.strip()
-                    break
     except OSError:
         pass
     return hashlib.md5(bits.encode()).hexdigest()[:10]

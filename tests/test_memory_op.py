@@ -205,6 +205,50 @@ class TestDataParallelEMA:
                                    np.asarray(ref_cb.embed),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_pallas_train_kernel_composes_with_psum(self, setup,
+                                                    cpu_mesh_devices):
+        """The TRAINING Pallas kernel's in-kernel EMA statistics must compose
+        with the cross-replica psum (ema_apply axis_name): per-shard
+        (counts, embed_sum) from the kernel, psum'd over 'data', must give
+        the same codebook update as the unsharded XLA path on the global
+        batch — the per-GPU-buffer divergence the torch version silently
+        accepts (unet.py:298-309) can never happen here."""
+        import functools
+
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        cb, _ = setup
+        rng = np.random.default_rng(5)
+        z = jnp.asarray(rng.normal(size=(8, 4, 4, DIM)).astype(np.float32))
+
+        *_, ref_cb = quantize_topk(z, cb, K, train=True)  # XLA, global batch
+
+        mesh = Mesh(np.array(cpu_mesh_devices), ("data",))
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("data"), P(None, None), P(None), P(None, None)),
+            out_specs=(P(None, None), P(None), P(None, None)),
+            check_vma=False,
+        )
+        def sharded(z, embed, cs, ea):
+            cb_local = Codebook(embed, cs, ea)
+            *_, new_cb = quantize_topk(z, cb_local, K, train=True,
+                                       axis_name="data", use_pallas=True)
+            return new_cb.embed, new_cb.cluster_size, new_cb.embed_avg
+
+        embed, cs, ea = sharded(z, cb.embed, cb.cluster_size, cb.embed_avg)
+        np.testing.assert_allclose(np.asarray(cs),
+                                   np.asarray(ref_cb.cluster_size),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ea),
+                                   np.asarray(ref_cb.embed_avg),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(embed),
+                                   np.asarray(ref_cb.embed),
+                                   rtol=1e-4, atol=1e-5)
+
 
 class TestPallasKernel:
     def test_matches_pure_jax(self, setup):

@@ -225,3 +225,108 @@ def test_score_dataset_video_mode_matches_batch(toydata):
                 "op_img_pred_records", "op_fea_comm_records"):
         for b, v in zip(res_b[key], res_v[key]):
             np.testing.assert_allclose(v, b, rtol=1e-5, atol=1e-5)
+
+
+class TestBlockwiseMean:
+    """(folded from the round-2 review-fix grab-bag file)"""
+
+    def test_partial_final_block_uses_real_members_only(self):
+        from ammcnet_aaai2021_tpu.eval.infer import blockwise_mean
+
+        v = np.array([1.0, 3.0, 5.0, 7.0, 10.0], np.float32)
+        out = blockwise_mean(v, block=2)
+        np.testing.assert_allclose(out, [2, 2, 6, 6, 10])
+
+
+class TestOpPsnrReferenceBug:
+    """(folded from the round-2 review-fix grab-bag file)"""
+
+    def test_matches_torch_broadcast_oracle(self, rng):
+        torch = pytest.importorskip("torch")
+
+        from ammcnet_aaai2021_tpu.eval.infer import op_psnr_reference_bug
+
+        b, h, w = 3, 16, 12
+        op_input = rng.uniform(-1, 1, (b, h, w, 6)).astype(np.float32)
+        op_pred = rng.uniform(-1, 1, (b, h, w, 2)).astype(np.float32)
+        got = np.asarray(op_psnr_reference_bug(jnp.asarray(op_pred),
+                                               jnp.asarray(op_input)))
+        # torch oracle reproducing test_helper.py:434-464 + psnr_error
+        fields = torch.from_numpy(op_input.reshape(b, h, w, 3, 2)
+                                  .transpose(0, 3, 4, 1, 2).copy())  # (b,3,2,h,w)
+        pred = torch.from_numpy(op_pred.transpose(0, 3, 1, 2).copy())  # (b,2,h,w)
+        ref = []
+        for i in range(b):
+            gen = pred[i].unsqueeze(0)          # (1,2,h,w)
+            gt = fields[i].unsqueeze(0)         # (1,3,2,h,w)
+            num_pixels = gen.shape[1] * gen.shape[2] * gen.shape[3]
+            gtn, genn = (gt + 1) / 2, (gen + 1) / 2
+            sq = (gtn - genn) ** 2              # broadcast (1,3,2,h,w)
+            errors = 10 * torch.log10(
+                1.0 / ((1.0 / num_pixels) * torch.sum(sq, dim=[1, 2, 3])))
+            ref.append(float(errors.mean()))
+        np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+class TestOpMetric:
+    """--op_metric: flow-native motion-stream metric override (the wired
+    consumer of the reference's epe_error, utils.py:151-152)."""
+
+    def test_epe_per_frame_matches_numpy_oracle(self, rng):
+        from ammcnet_aaai2021_tpu.ops.metrics import epe_error, epe_per_frame
+
+        gen_f = rng.normal(size=(4, 8, 6, 2)).astype(np.float32)
+        gt_f = rng.normal(size=(4, 8, 6, 2)).astype(np.float32)
+        got = np.asarray(epe_per_frame(jnp.asarray(gen_f), jnp.asarray(gt_f)))
+        want = np.sqrt(((gt_f - gen_f) ** 2).sum(-1) + 1e-20).mean((1, 2))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # the scalar reference form is the per-frame mean
+        np.testing.assert_allclose(
+            float(epe_error(jnp.asarray(gen_f), jnp.asarray(gt_f))),
+            want.mean(), rtol=1e-6)
+
+    def test_epe_only_selectable_for_op_stream(self):
+        from ammcnet_aaai2021_tpu.ops.metrics import (OP_PER_FRAME_METRICS,
+                                                      PER_FRAME_METRICS)
+
+        assert "epe" in OP_PER_FRAME_METRICS
+        assert "epe" not in PER_FRAME_METRICS
+
+    def test_scorer_op_metric_epe_changes_only_op_vector(self, rng):
+        cfg = NetConfig(dtype="float32", use_pallas_memory=False, n_embed=64)
+        gen = build_generator(cfg, per_sample_diff=True)
+        size = 32
+        variables = gen.init({"params": jax.random.PRNGKey(0)},
+                             jnp.zeros((1, size, size, 12)),
+                             jnp.zeros((1, size, size, 6)))
+        t = 9
+        rgb = rng.integers(0, 255, (t, size, size, 3), np.uint8)
+        op = rng.normal(0, 0.02, (t - 1, size, size, 2)).astype(np.float32)
+        idx = jnp.arange(4)
+        base = make_video_scorer(gen, variables, window_batch=4)
+        epe = make_video_scorer(gen, variables, window_batch=4,
+                                op_metric="epe")
+        r0 = [np.asarray(x) for x in base(rgb, op, idx)]
+        r1 = [np.asarray(x) for x in epe(rgb, op, idx)]
+        # rgb psnr / rgb fea / op fea identical; op metric differs
+        np.testing.assert_array_equal(r0[0], r1[0])
+        np.testing.assert_array_equal(r0[1], r1[1])
+        np.testing.assert_array_equal(r0[3], r1[3])
+        assert not np.array_equal(r0[2], r1[2])
+        # and the epe vector IS epe_per_frame(op_pred, op_target): recompute
+        # the op windows exactly as the scorer stacks them
+        from ammcnet_aaai2021_tpu.ops.metrics import epe_per_frame
+
+        widx = np.asarray(idx)[:, None] + np.arange(4)[None, :]
+        op_clip = np.transpose(op[widx], (0, 2, 3, 1, 4)).reshape(
+            4, size, size, 8)
+        rgb_widx = np.asarray(idx)[:, None] + np.arange(5)[None, :]
+        rgb_clip_u8 = np.transpose(rgb[rgb_widx], (0, 2, 3, 1, 4)).reshape(
+            4, size, size, 15)
+        rgb_clip = (rgb_clip_u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+        _, op_pred, _, _ = gen.apply(
+            variables, jnp.asarray(rgb_clip[..., :-3]),
+            jnp.asarray(op_clip[..., :-2]), False)
+        want = np.asarray(epe_per_frame(op_pred,
+                                        jnp.asarray(op_clip[..., -2:])))
+        np.testing.assert_allclose(r1[2], want, rtol=1e-5)

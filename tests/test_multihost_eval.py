@@ -120,3 +120,132 @@ def test_two_process_eval_matches_single(tmp_path):
     shard_root = os.path.join(save_dir, "record_shards")
     run_dirs = [d for d in os.listdir(shard_root) if d.startswith("run_")]
     assert run_dirs == []
+
+
+class TestRecordShardMerge:
+    """Host-side record-shard plumbing (folded from the round-2 review-fix
+    grab-bag file): write/merge round-trip, staleness, rendezvous waits."""
+
+    def test_roundtrip_and_order(self, tmp_path, rng, monkeypatch):
+        import jax
+
+        from ammcnet_aaai2021_tpu.parallel.multihost import (
+            merge_record_shards, write_record_shard)
+
+        names = ["01", "02", "03"]
+        keys = ["rgb_img_pred_records", "rgb_fea_comm_records"]
+        full = {k: [rng.random(5 + i) for i in range(3)] for k in keys}
+        # emulate 2 hosts: host0 gets videos 0,2; host1 gets 1 (round robin)
+        shard_dir = str(tmp_path)
+        write_record_shard(shard_dir,
+                           {k: [full[k][0], full[k][2]] for k in keys},
+                           ["01", "03"])
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        write_record_shard(shard_dir, {k: [full[k][1]] for k in keys}, ["02"])
+        merged = merge_record_shards(shard_dir, names, n_shards=2)
+        for k in keys:
+            for a, b in zip(merged[k], full[k]):
+                np.testing.assert_array_equal(a, b)
+
+    def test_missing_video_raises(self, tmp_path, rng):
+        from ammcnet_aaai2021_tpu.parallel.multihost import (
+            merge_record_shards, write_record_shard)
+
+        write_record_shard(str(tmp_path),
+                           {"rgb_img_pred_records": [rng.random(4)]}, ["01"])
+        with pytest.raises(RuntimeError, match="missing videos"):
+            merge_record_shards(str(tmp_path), ["01", "02"])
+
+    def test_stale_higher_rank_shard_ignored(self, tmp_path, rng,
+                                             monkeypatch):
+        """A leftover records_00001.pkl from an earlier 2-host run must not
+        leak into a later single-host merge (the round-2 advisor finding)."""
+        import jax
+
+        from ammcnet_aaai2021_tpu.parallel.multihost import (
+            merge_record_shards, write_record_shard)
+
+        keys = ["rgb_img_pred_records"]
+        stale = {k: [rng.random(5)] for k in keys}
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        write_record_shard(str(tmp_path), stale, ["01"])
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        fresh = {k: [rng.random(5)] for k in keys}
+        write_record_shard(str(tmp_path), fresh, ["01"])
+        merged = merge_record_shards(str(tmp_path), ["01"], n_shards=1)
+        np.testing.assert_array_equal(merged[keys[0]][0], fresh[keys[0]][0])
+
+    def test_wait_for_shards_sees_late_file(self, tmp_path):
+        import threading
+        import time as _time
+
+        from ammcnet_aaai2021_tpu.parallel.multihost import wait_for_shards
+
+        path = tmp_path / "records_00000.pkl"
+
+        def write_late():
+            _time.sleep(0.2)
+            path.write_bytes(b"x")
+
+        t = threading.Thread(target=write_late)
+        t.start()
+        wait_for_shards(str(tmp_path), n_shards=1, timeout_s=10, poll_s=0.05)
+        t.join()
+
+    def test_wait_for_shards_timeout_names_missing_ranks(self, tmp_path):
+        from ammcnet_aaai2021_tpu.parallel.multihost import wait_for_shards
+
+        with pytest.raises(TimeoutError, match=r"\[0, 1\]"):
+            wait_for_shards(str(tmp_path), n_shards=2, timeout_s=0.2,
+                            poll_s=0.05)
+
+    def test_consume_shard_dir_renames_then_removes(self, tmp_path):
+        from ammcnet_aaai2021_tpu.parallel.multihost import consume_shard_dir
+
+        d = tmp_path / "run_abc"
+        d.mkdir()
+        (d / "records_00000.pkl").write_bytes(b"x")
+        consume_shard_dir(str(d))
+        assert not d.exists()
+        assert not (tmp_path / "run_abc.consumed").exists()
+
+    def test_wait_for_merge_returns_once_consumed(self, tmp_path):
+        import threading
+        import time as _time
+
+        from ammcnet_aaai2021_tpu.parallel.multihost import (
+            consume_shard_dir, wait_for_merge)
+
+        d = tmp_path / "run_def"
+        d.mkdir()
+
+        def consume_late():
+            _time.sleep(0.2)
+            consume_shard_dir(str(d))
+
+        t = threading.Thread(target=consume_late)
+        t.start()
+        wait_for_merge(str(d), timeout_s=10, poll_s=0.05)
+        t.join()
+        assert not d.exists()
+
+    def test_wait_for_merge_timeout_warns_not_hangs(self, tmp_path):
+        from ammcnet_aaai2021_tpu.parallel.multihost import wait_for_merge
+
+        d = tmp_path / "run_ghi"
+        d.mkdir()
+        with pytest.warns(RuntimeWarning, match="did not consume"):
+            wait_for_merge(str(d), timeout_s=0.2, poll_s=0.05)
+
+    def test_run_token_single_process_is_fresh_hex(self):
+        from ammcnet_aaai2021_tpu.parallel.multihost import agree_on_run_token
+
+        a, b = agree_on_run_token(), agree_on_run_token()
+        assert a != b and len(a) == 32
+        int(a, 16)  # valid hex
+
+    def test_warm_collectives_single_process_noop(self):
+        # must not touch any backend/collective machinery single-process
+        from ammcnet_aaai2021_tpu.parallel.multihost import warm_collectives
+
+        warm_collectives()

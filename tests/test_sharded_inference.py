@@ -39,6 +39,59 @@ class TestShardedScorer:
                                        rtol=1e-5, atol=1e-5)
 
 
+class TestPallasUnderMesh:
+    def test_pjit_train_step_pallas_matches_xla(self, cpu_mesh_devices):
+        """One full jitted train step with use_pallas_memory=True over an
+        8-device data mesh must produce the same losses AND the same updated
+        EMA codebook as the XLA-path step on the same global batch (the
+        kernel's in-kernel statistics + GSPMD's global reduction compose)."""
+        from ammcnet_aaai2021_tpu.configs import LossConfig, NetConfig, OptimConfig
+        from ammcnet_aaai2021_tpu.models import PixelDiscriminator, build_generator
+        from ammcnet_aaai2021_tpu.parallel import replicate, shard_batch
+        from ammcnet_aaai2021_tpu.train.optim import make_optimizers
+        from ammcnet_aaai2021_tpu.train.state import create_train_state
+        from ammcnet_aaai2021_tpu.train.steps import make_single_stream_train_step
+
+        size, t, ch = 32, 3, 2  # op recipe: no FlowNet, so 32x32 is legal
+        mesh = make_mesh(8, devices=cpu_mesh_devices)
+        rng_np = np.random.default_rng(7)
+        batch = jnp.asarray(rng_np.uniform(
+            -1, 1, (8, size, size, (t + 1) * ch)).astype(np.float32))
+
+        results = {}
+        for use_pallas in (False, True):
+            cfg = NetConfig(net_tag="unet_vq_topk_res", data_type="op",
+                            dtype="float32", n_embed=32,
+                            use_pallas_memory=use_pallas)
+            gen = build_generator(cfg)
+            disc = PixelDiscriminator(dtype=jnp.float32)
+            g_tx, d_tx = make_optimizers(OptimConfig())
+            state = create_train_state(
+                gen, disc, g_tx, d_tx, jax.random.PRNGKey(0),
+                rgb_shape=(8, size, size, t * ch), d_input_channels=ch)
+            step_fn = jax.jit(make_single_stream_train_step(
+                gen, disc, None, LossConfig(loss_tag="op_int_adv_vq"),
+                g_tx, d_tx, data_type="op"))
+            if use_pallas:  # the mesh path under test
+                new_state, metrics = step_fn(
+                    replicate(mesh, state), shard_batch(mesh, batch), None)
+            else:  # single-device XLA oracle on the same global batch
+                new_state, metrics = step_fn(state, batch, None)
+            jax.block_until_ready(metrics)
+            results[use_pallas] = (new_state, metrics)
+
+        (ref_state, ref_m), (pal_state, pal_m) = results[False], results[True]
+        assert float(pal_m["g_loss"]) == pytest.approx(
+            float(ref_m["g_loss"]), rel=1e-4)
+        assert float(pal_m["d_loss"]) == pytest.approx(
+            float(ref_m["d_loss"]), rel=1e-4)
+        ref_cb = jax.tree.leaves(ref_state.g_state["codebook"])
+        pal_cb = jax.tree.leaves(pal_state.g_state["codebook"])
+        for r, p in zip(ref_cb, pal_cb):
+            np.testing.assert_allclose(np.asarray(p), np.asarray(r),
+                                       rtol=1e-4, atol=1e-5)
+
+
 class TestTensorParallelPlacement:
     def test_bottleneck_kernels_shard_over_model(self, cpu_mesh_devices):
         import numpy as np

@@ -131,3 +131,24 @@ class TestConfig:
         assert cfg.loss.loss_tag == "twostream_vq"
         assert cfg.loss.lam_latent == 0.25
         assert cfg.loss.lam_gdl == cfg.loss.lam_adv
+
+
+class TestCompileCache:
+    """(folded from the round-2 review-fix grab-bag file)"""
+
+    def test_cpu_cache_dir_is_machine_keyed(self, tmp_path):
+        # CPU-only processes must never share AOT executables across
+        # machines (cpu_aot_loader SIGILL risk after a VM migration); the
+        # suite runs under jax_platforms=cpu so the subdir must be applied
+        from ammcnet_aaai2021_tpu.utils.compile_cache import (
+            _machine_fingerprint, enable_compilation_cache)
+
+        got = enable_compilation_cache(str(tmp_path / "cache"))
+        fp = _machine_fingerprint()
+        assert got == str(tmp_path / "cache" / f"cpu-{fp}")
+        assert os.path.isdir(got)
+        assert len(fp) == 10
+        # fingerprint is stable within one host
+        assert _machine_fingerprint() == fp
+        # restore the suite-wide cache dir (conftest set it at import)
+        enable_compilation_cache()
