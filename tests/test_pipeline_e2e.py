@@ -33,6 +33,38 @@ class TestRecordAssembly:
             arr, [10, 10, 10, 10, 20, 30, 30])
 
 
+class TestHardToydata:
+    def test_hard_anomalies_move_at_normal_speed(self, tmp_path):
+        """--hard anomalies are direction-only: no frame-to-frame jump may
+        exceed ~2x the normal speed anywhere (anomalous frames included, and
+        no wrap teleports in normal frames), while the easy variant's
+        teleports jump tens of pixels.  This is what keeps frame-level AUC
+        from saturating (VERDICT r2 weak #3)."""
+        import cv2
+
+        def max_disp(root, split, vid):
+            d = os.path.join(root, "toydata", split, "frames", vid)
+            centers = []
+            for f in sorted(os.listdir(d)):
+                img = cv2.imread(os.path.join(d, f), cv2.IMREAD_GRAYSCALE)
+                ys, xs = np.where(img > 100)
+                centers.append((xs.mean(), ys.mean()))
+            c = np.asarray(centers)
+            return float(np.linalg.norm(np.diff(c, axis=0), axis=1).max())
+
+        hard = str(tmp_path / "hard")
+        make_toydata(hard, frames_per_video=32, image_size=64,
+                     anomaly_span=(10, 22), hard=True)
+        for split, vid in (("training", "01"), ("testing", "01"),
+                           ("testing", "02")):
+            assert max_disp(hard, split, vid) <= 7.0, (split, vid)
+
+        easy = str(tmp_path / "easy")
+        make_toydata(easy, frames_per_video=32, image_size=64,
+                     anomaly_span=(10, 22))
+        assert max_disp(easy, "testing", "01") > 15.0
+
+
 class TestRunTestCLI:
     def test_toydata_end_to_end(self, toydata, tmp_path):
         from ammcnet_aaai2021_tpu.runners.run_test import main
