@@ -62,9 +62,11 @@ def parser_args(argv=None):
                         "(GiB; 0 disables) -- training revisits each frame "
                         "clip_len x epochs times")
     p.add_argument("--backend", default="normal",
-                   choices=["normal", "framepack"],
+                   choices=["normal", "framepack", "device"],
                    help="training data backend; framepack roots point "
-                        "at packed files instead of frame trees")
+                        "at packed files instead of frame trees; device "
+                        "uploads the whole split to HBM once and gathers "
+                        "batches on-device (zero per-step pixel H2D)")
     p.add_argument("--resume", default="",
                    help="run dir (or exp_tag via registry) to resume from: "
                         "restores the FULL training state incl. optimizer "
@@ -231,7 +233,20 @@ def main(argv=None):
         step_fn = jax.jit(make_twostream_train_step(
             gen, disc, flownet, loss_cfg, g_tx, d_tx))
 
-        if args.backend == "normal":
+        if args.backend == "device":
+            # whole split resident in HBM; batches gather on-device
+            # (data/resident.py) — the per-step H2D is a (b,) int32 pair
+            from ..data.resident import DeviceResidentTwoStream
+
+            sampler = DeviceResidentTwoStream(
+                VideoIndex(data.rgb_root), VideoIndex(data.op_root),
+                clip_len_rgb=5, clip_len_op=4, image_size=size,
+                aligned=args.aligned_sampling,
+                reproduce_flow_bug=data.reproduce_flow_channel_bug,
+                seed=args.seed)
+            logger.info("device-resident split: %.0f MB in HBM",
+                        sampler.resident_bytes / 1e6)
+        elif args.backend == "normal":
             # uint8 + frame-packed clips: host assembly is contiguous
             # memcpys only; the jitted step normalizes and interleaves
             # (an XLA transpose, free on TPU)
@@ -253,8 +268,12 @@ def main(argv=None):
                 reproduce_flow_bug=data.reproduce_flow_channel_bug,
                 seed=args.seed)
 
-        fast_transfer = args.backend == "framepack"
-        if fast_transfer:
+        if args.backend == "device":
+
+            def batches():
+                while True:
+                    yield sampler.batch(args.batch_size)
+        elif args.backend == "framepack":
             # u8 rgb + bf16 flows over PCIe (3x fewer bytes) in frame-packed
             # (b, t, h, w, c) layout (one mmap gather, no host interleave);
             # the jitted step normalizes and interleaves on device
@@ -317,17 +336,32 @@ def main(argv=None):
         from ..data.datasets import FrameCache
 
         root = data.rgb_root if args.data_type == "rgb" else data.op_root
-        cache = (FrameCache(int(args.cache_gb * (1 << 30)))
-                 if args.cache_gb > 0 else None)
-        sampler = SingleStreamTrainSampler(
-            VideoIndex(root), t + 1,
-            ClipLoader(args.data_type, size, data.reproduce_flow_channel_bug,
-                       cache=cache, normalize_rgb=False, packed=True))
+        if args.backend == "device":
+            from ..data.resident import DeviceResidentSingleStream
 
-        def batches():
-            for b in parallel_batches(sampler, args.batch_size,
-                                      num_workers=args.num_workers):
-                yield jnp.asarray(b)
+            sampler = DeviceResidentSingleStream(
+                VideoIndex(root), args.data_type, t + 1, image_size=size,
+                reproduce_flow_bug=data.reproduce_flow_channel_bug,
+                seed=args.seed)
+            logger.info("device-resident split: %.0f MB in HBM",
+                        sampler.resident_bytes / 1e6)
+
+            def batches():
+                while True:
+                    yield sampler.batch(args.batch_size)
+        else:
+            cache = (FrameCache(int(args.cache_gb * (1 << 30)))
+                     if args.cache_gb > 0 else None)
+            sampler = SingleStreamTrainSampler(
+                VideoIndex(root), t + 1,
+                ClipLoader(args.data_type, size,
+                           data.reproduce_flow_channel_bug,
+                           cache=cache, normalize_rgb=False, packed=True))
+
+            def batches():
+                for b in parallel_batches(sampler, args.batch_size,
+                                          num_workers=args.num_workers):
+                    yield jnp.asarray(b)
 
         from ..train.steps import _to_model_range
 

@@ -37,7 +37,7 @@ def parser_args(argv=None):
     p.add_argument("--k", type=int, default=2)
     p.add_argument("--seed", type=int, default=20200525)
     p.add_argument("--backend", default="normal",
-                   choices=["normal", "framepack"])
+                   choices=["normal", "framepack", "device"])
     p.add_argument("--flownet_ckpt", default="")
     p.add_argument("--skip_scratch_control", action="store_true",
                    help="skip the stage-2-from-scratch comparison run")

@@ -135,6 +135,55 @@ class TestDatasetFactory:
         np.testing.assert_array_equal(
             np.asarray(_to_model_range(got["op"])), want["op"])
 
+    def test_device_resident_matches_host_sampler(self, toydata):
+        """The device-resident backend (whole split in HBM, on-device clip
+        gather) draws the SAME (video, offset) sequence as the host sampler
+        for a seed, and its gathered pixels equal the host sampler's packed
+        clips (rgb bit-exact u8; flows exact after the bf16 store)."""
+        import ml_dtypes
+
+        from ammcnet_aaai2021_tpu.data.datasets import (
+            TwoStreamTrainSampler, VideoIndex)
+        from ammcnet_aaai2021_tpu.data.resident import DeviceResidentTwoStream
+
+        roots = (VideoIndex(os.path.join(toydata, "toydata", "training",
+                                         "frames")),
+                 VideoIndex(os.path.join(toydata, "toydata", "training",
+                                         "flows")))
+        kwargs = dict(clip_len_rgb=5, clip_len_op=4, image_size=32, seed=11)
+        host = TwoStreamTrainSampler(*roots, **kwargs,
+                                     normalize_rgb=False, packed=True)
+        resident = DeviceResidentTwoStream(*roots, **kwargs)
+
+        got = resident.batch(4)
+        # replay the host sampler's identical rng draws for the oracle
+        want = host.batch(4)
+        assert np.asarray(got["rgb"]).dtype == np.uint8
+        assert np.asarray(got["op"]).dtype == ml_dtypes.bfloat16
+        np.testing.assert_array_equal(np.asarray(got["rgb"]), want["rgb"])
+        np.testing.assert_array_equal(
+            np.asarray(got["op"]),
+            want["op"].astype(ml_dtypes.bfloat16))
+
+    def test_device_resident_single_stream(self, toydata):
+        """Single-stream resident variant: coords match the host sampler and
+        rgb gathers are bit-exact."""
+        from ammcnet_aaai2021_tpu.data.datasets import (
+            ClipLoader, SingleStreamTrainSampler, VideoIndex)
+        from ammcnet_aaai2021_tpu.data.resident import (
+            DeviceResidentSingleStream)
+
+        index = VideoIndex(os.path.join(toydata, "toydata", "training",
+                                        "frames"))
+        host = SingleStreamTrainSampler(
+            index, 5, ClipLoader("rgb", 32, normalize_rgb=False, packed=True),
+            seed=13)
+        resident = DeviceResidentSingleStream(index, "rgb", 5,
+                                              image_size=32, seed=13)
+        got = np.asarray(resident.batch(3))
+        want = host.batch(3)
+        np.testing.assert_array_equal(got, want)
+
     def test_framepack_packed_matches_parity_path(self, toydata, tmp_path):
         """Framepack's packed (b,t,h,w,c) one-gather batches must produce
         bit-identical model inputs to its interleaved parity path, with the

@@ -179,6 +179,34 @@ class TestRunTrainCLI:
         assert os.path.exists(os.path.join(run_dir, "summary", "scalars.csv"))
 
 
+    def test_stage2_device_backend_trains_and_resumes(self, toydata,
+                                                      tmp_path):
+        """--backend device: the whole split resident in HBM (here: host
+        memory of the CPU device), batches gathered on-device, zero per-step
+        pixel H2D.  The run must checkpoint and a second invocation must
+        --resume from it and extend the step count — the 80k released-scale
+        recipe runs on this backend (PERF.md)."""
+        from ammcnet_aaai2021_tpu.runners.run_train import main
+        from ammcnet_aaai2021_tpu.train.checkpoint import latest_step
+
+        registry = str(tmp_path / "registry.json")
+        common = ["--dataset_name", "toydata", "--data_dir", toydata,
+                  "--image_size", "64", "--batch_size", "2",
+                  "--save_dir", str(tmp_path / "runs"),
+                  "--registry", registry, "--n_embed", "16",
+                  "--backend", "device", "--step_log", "1"]
+        run_dir = main(common + ["--iterations", "2", "--step_save", "2",
+                                 "--exp_tag", "dev-backend"])
+        ckpts = os.path.join(run_dir, "training", "checkpoints")
+        assert latest_step(ckpts) == 2
+        resumed_dir = main(common + ["--iterations", "4", "--step_save", "2",
+                                     "--exp_tag", "dev-backend-resume",
+                                     "--resume", run_dir])
+        assert latest_step(ckpts) == 2  # original dir untouched past 2
+        assert latest_step(os.path.join(resumed_dir, "training",
+                                        "checkpoints")) == 4
+
+
 class TestTwoStageRecipe:
     def test_recipe_chain_executes(self, toydata, tmp_path):
         """Full reference pipeline as one flow: stage-1 rgb -> stage-1 op ->
