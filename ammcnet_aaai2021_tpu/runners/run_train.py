@@ -55,6 +55,14 @@ def parser_args(argv=None):
     p.add_argument("--step_log", type=int, default=10)
     p.add_argument("--step_summary", type=int, default=100)
     p.add_argument("--step_save", type=int, default=1000)
+    p.add_argument("--fetch_every_periods", type=int, default=1,
+                   help="batch K log-periods of scalars into one D2H fetch "
+                        "(values still recorded per step_log, written K "
+                        "periods late) — lifts the loop off the remote "
+                        "tunnel's tiny-op RTT on long runs")
+    p.add_argument("--async_checkpoints", action="store_true",
+                   help="overlap checkpoint device_get+write with stepping "
+                        "on a writer thread")
     p.add_argument("--num_workers", type=int, default=8,
                    help="decode threads for the file-tree (normal) backend")
     p.add_argument("--cache_gb", type=float, default=2.0,
@@ -318,10 +326,19 @@ def main(argv=None):
             rgb_pred, op_pred, _, _ = gen.apply(
                 variables, rgb[..., :-3], op[..., :-2], False)
             n = min(4, rgb_pred.shape[0])
-            return {"rgb/pred": rgb_pred[:n],
-                    "rgb/target": rgb[..., -3:][:n],
-                    "op/pred": op_pred[:n],
-                    "op/target": op[..., -2:][:n]}
+
+            # fetch-size hygiene: the grids leave the device every
+            # step_summary for the life of an 80k run (800 fetches) over a
+            # link whose D2H degrades to ~0.2 MB/s for hours (PERF.md), so
+            # quantize rgb to uint8 and keep flows bf16 ON DEVICE — 3.7 MB
+            # per summary instead of 10.5 MB, pixel-identical TB output
+            def u8(x):
+                return ((jnp.clip(x, -1, 1) + 1) * 127.5).astype(jnp.uint8)
+
+            return {"rgb/pred": u8(rgb_pred[:n]),
+                    "rgb/target": u8(rgb[..., -3:][:n]),
+                    "op/pred": op_pred[:n].astype(jnp.bfloat16),
+                    "op/target": op[..., -2:][:n].astype(jnp.bfloat16)}
 
     else:
         c = ch[args.data_type]
@@ -402,7 +419,9 @@ def main(argv=None):
                        vis_fn=jax.jit(vis_fn) if vis_fn else None,
                        step_log=args.step_log,
                        step_summary=args.step_summary,
-                       step_save=args.step_save)
+                       step_save=args.step_save,
+                       fetch_every_periods=args.fetch_every_periods,
+                       async_checkpoints=args.async_checkpoints)
     logger.info("training done at step %d", int(state.step))
     return run_dir
 

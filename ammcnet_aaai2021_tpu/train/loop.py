@@ -113,15 +113,27 @@ def train_loop(
     step_log: int = STEP_LOG,
     step_summary: int = STEP_SUMMARY,
     step_save: int = STEP_SAVE_CKPT,
+    fetch_every_periods: int = 1,
+    async_checkpoints: bool = False,
 ):
     """Generic loop used by both stages.  ``psnr_fn(state, batch)`` computes
     the train-PSNR the reference logs every step_log (train_helper.py:347-386).
     Returns the final state.
 
-    Scalar logging is DEFERRED one log period (see ``flush_pending``), so
-    ``step_summary`` should be a multiple of ``step_log`` (the reference's
-    100/10 cadence is) — summary scalars are taken from the coinciding log
-    step's stack."""
+    Scalar logging is DEFERRED (see ``flush_pending``), so ``step_summary``
+    should be a multiple of ``step_log`` (the reference's 100/10 cadence is)
+    — summary scalars are taken from the coinciding log step's stack.
+
+    ``fetch_every_periods=K`` batches K log periods' scalar stacks into ONE
+    device->host fetch (the per-10-step values are still recorded, written K
+    periods late): on a remote device whose tiny-op RTT is ~0.2-6 s the
+    per-period fetch otherwise bounds the loop at RTT, not at the 11 ms
+    step (8k fetches over an 80k run).  ``async_checkpoints=True`` moves the
+    checkpoint device_get + orbax write onto a writer thread — JAX arrays
+    are immutable, so the step-N state snapshot stays consistent while the
+    loop keeps stepping; queue depth 1 gives backpressure if saves fall a
+    full cadence behind.  A kill mid-save leaves only an orbax tmp dir,
+    which ``latest_step``'s digits-only filter ignores on resume."""
     import jax.numpy as jnp
 
     writer = ScalarWriter(os.path.join(run_dir, "summary"))
@@ -135,28 +147,49 @@ def train_loop(
     t_period = time.time()
 
     # Deferred metric fetch: at each log step the scalars stack into ONE
-    # device array (async dispatch), and the PREVIOUS log step's stack is
-    # fetched — by then it has had a whole log period of compute to ride
-    # down; one RPC fetches all scalars at once.  A per-scalar float() here
-    # would cost len(metrics) D2H round-trips per log step (8 scalars x
-    # 8k log steps x 0.2-6 s RTT on this tunnel = hours on an 80k run).
-    pending = None  # (step, keys, device_array, steps/s, data_frac)
+    # device array (async dispatch); stacks accumulate and are fetched in
+    # batches of ``fetch_every_periods`` — by then the oldest has had whole
+    # log periods of compute to ride down; one RPC fetches everything.  A
+    # per-scalar float() here would cost len(metrics) D2H round-trips per
+    # log step (8 scalars x 8k log steps x 0.2-6 s RTT on this tunnel =
+    # hours on an 80k run).
+    pending = []  # [(step, keys, device_array, steps/s, data_frac), ...]
 
     def flush_pending():
-        nonlocal pending
-        if pending is None:
+        if not pending:
             return
-        pstep, keys, arr, rate, data_frac = pending
-        pending = None
-        vals = dict(zip(keys, np.asarray(arr).astype(np.float64).tolist()))
-        if logger:
-            comps = ", ".join(f"{k}={v:.4f}" for k, v in vals.items())
-            logger.info("step %d | %s | %.1f steps/s data_stall=%.0f%%",
-                        pstep, comps, rate, 100 * data_frac)
-        if pstep % step_summary == 0:
-            writer.scalars(pstep, vals)
-            writer.scalars(pstep, {"steps_per_sec": rate,
-                                   "data_stall_frac": data_frac})
+        vals_all = np.asarray(jnp.stack([p[2] for p in pending]),
+                              dtype=np.float64)  # ONE fetch for all periods
+        for (pstep, keys, _, rate, data_frac), row in zip(pending, vals_all):
+            vals = dict(zip(keys, row.tolist()))
+            if logger:
+                comps = ", ".join(f"{k}={v:.4f}" for k, v in vals.items())
+                logger.info("step %d | %s | %.1f steps/s data_stall=%.0f%%",
+                            pstep, comps, rate, 100 * data_frac)
+            if pstep % step_summary == 0:
+                writer.scalars(pstep, vals)
+                writer.scalars(pstep, {"steps_per_sec": rate,
+                                       "data_stall_frac": data_frac})
+        pending.clear()
+
+    save_q: Optional["queue.Queue"] = None
+    saver_thread = None
+    if async_checkpoints:
+        save_q = queue.Queue(maxsize=1)
+
+        def saver():
+            while True:
+                item = save_q.get()
+                if item is None:
+                    return
+                sstep, sstate = item
+                save_checkpoint(ckpt_dir, sstep, jax.device_get(
+                    jax.tree.map(np.asarray, _state_to_pytree(sstate))))
+                if logger:
+                    logger.info("checkpoint saved at step %d", sstep)
+
+        saver_thread = threading.Thread(target=saver, daemon=True)
+        saver_thread.start()
 
     for batch in prefetch(batch_iter):
         data_times.append(time.time() - t_data0)
@@ -165,7 +198,6 @@ def train_loop(
         step += 1
         step_times.append(time.time() - t0)
         if step % step_log == 0:
-            flush_pending()  # previous log step's scalars, one period late
             keys = sorted(metrics)
             scalars = [metrics[k] for k in keys]
             if psnr_fn is not None:
@@ -176,7 +208,9 @@ def train_loop(
             rate = step_log / period
             data_frac = float(np.sum(data_times[-step_log:])) / period
             t_period = now
-            pending = (step, keys, jnp.stack(scalars), rate, data_frac)
+            pending.append((step, keys, jnp.stack(scalars), rate, data_frac))
+            if len(pending) >= max(1, fetch_every_periods):
+                flush_pending()
         if step % step_summary == 0 and vis_fn is not None:
             # image grids of predictions vs targets (flow rendered
             # through the color wheel), reference train_helper.py:388-411
@@ -184,14 +218,20 @@ def train_loop(
                 writer.image_grid(step, tag, np.asarray(images))
         if step % step_save == 0:
             flush_pending()
-            save_checkpoint(ckpt_dir, step, jax.device_get(
-                jax.tree.map(np.asarray, _state_to_pytree(state))))
-            if logger:
-                logger.info("checkpoint saved at step %d", step)
+            if save_q is not None:
+                save_q.put((step, state))  # blocks only if a save is behind
+            else:
+                save_checkpoint(ckpt_dir, step, jax.device_get(
+                    jax.tree.map(np.asarray, _state_to_pytree(state))))
+                if logger:
+                    logger.info("checkpoint saved at step %d", step)
         t_data0 = time.time()
         if step >= iterations:
             break
     flush_pending()
+    if save_q is not None:
+        save_q.put(None)
+        saver_thread.join()
     writer.close()
     return state
 

@@ -194,11 +194,17 @@ class TestRunTrainCLI:
                   "--image_size", "64", "--batch_size", "2",
                   "--save_dir", str(tmp_path / "runs"),
                   "--registry", registry, "--n_embed", "16",
-                  "--backend", "device", "--step_log", "1"]
+                  "--backend", "device", "--step_log", "1",
+                  # the long-run loop options (batched scalar fetches +
+                  # writer-thread checkpoints) ride the same path
+                  "--fetch_every_periods", "2", "--async_checkpoints"]
         run_dir = main(common + ["--iterations", "2", "--step_save", "2",
                                  "--exp_tag", "dev-backend"])
         ckpts = os.path.join(run_dir, "training", "checkpoints")
         assert latest_step(ckpts) == 2
+        # batched-fetch mode must still record every step_log row
+        csv_path = os.path.join(run_dir, "summary", "scalars.csv")
+        assert os.path.exists(csv_path)
         resumed_dir = main(common + ["--iterations", "4", "--step_save", "2",
                                      "--exp_tag", "dev-backend-resume",
                                      "--resume", run_dir])
