@@ -79,6 +79,52 @@ class ScalarWriter:
             self._tb.close()
 
 
+class PackedStateFetcher:
+    """Fetch a pytree of device arrays with ONE D2H transfer per dtype.
+
+    ``jax.device_get`` on a ~200-leaf train state pays one tunnel
+    round-trip PER LEAF (~0.2-1.5 s each on this environment's remote
+    device — 40-330 s per checkpoint, measured live on the 80k run).  This
+    packs all same-dtype leaves into one contiguous device vector inside
+    ONE jitted program (compiled once per state structure, persistent-
+    cached), fetches each vector in a single RPC, and splits/reshapes on
+    the host.  Same bytes, ~dtype-count round-trips instead of leaf-count.
+    """
+
+    def __init__(self):
+        self._packer = None
+        self._spec = None
+
+    def __call__(self, tree):
+        import jax.numpy as jnp
+
+        leaves, treedef = jax.tree.flatten(tree)
+        if self._packer is None:
+            order: Dict = {}
+            for i, x in enumerate(leaves):
+                order.setdefault(jnp.dtype(x.dtype).name, []).append(i)
+            self._spec = (treedef, order,
+                          [(x.shape, x.size) for x in leaves])
+
+            def pack(ls):
+                return {name: jnp.concatenate(
+                    [ls[i].reshape(-1) for i in idxs])
+                    for name, idxs in order.items()}
+
+            self._packer = jax.jit(pack)
+        treedef0, order, shapes = self._spec
+        packed = self._packer(leaves)
+        out = [None] * len(leaves)
+        for name, idxs in order.items():
+            host = np.asarray(packed[name])  # ONE fetch per dtype
+            off = 0
+            for i in idxs:
+                shape, size = shapes[i]
+                out[i] = host[off:off + size].reshape(shape)
+                off += size
+        return jax.tree.unflatten(treedef0, out)
+
+
 def prefetch(batch_iter: Iterator, depth: int = 2) -> Iterator:
     """Host-thread prefetch so data assembly overlaps the device step
     (replaces the reference's DataLoader(num_workers=16) processes)."""
@@ -154,13 +200,24 @@ def train_loop(
     # log step (8 scalars x 8k log steps x 0.2-6 s RTT on this tunnel =
     # hours on an 80k run).
     pending = []  # [(step, keys, device_array, steps/s, data_frac), ...]
+    flush_mark = [step, time.time()]  # (step, wall) at the last flush
 
     def flush_pending():
         if not pending:
             return
         vals_all = np.asarray(jnp.stack([p[2] for p in pending]),
                               dtype=np.float64)  # ONE fetch for all periods
+        # In batched-fetch mode the per-period host rate is a DISPATCH rate
+        # (the host runs ahead of the device between flushes); the truthful
+        # throughput is steps/wall over the flush window — the np.asarray
+        # above blocked until the newest period's metrics really computed.
+        now = time.time()
+        span_rate = (pending[-1][0] - flush_mark[0]) / max(
+            now - flush_mark[1], 1e-9)
+        flush_mark[0], flush_mark[1] = pending[-1][0], now
         for (pstep, keys, _, rate, data_frac), row in zip(pending, vals_all):
+            if len(pending) > 1:
+                rate = span_rate
             vals = dict(zip(keys, row.tolist()))
             if logger:
                 comps = ", ".join(f"{k}={v:.4f}" for k, v in vals.items())
@@ -174,6 +231,7 @@ def train_loop(
 
     save_q: Optional["queue.Queue"] = None
     saver_thread = None
+    fetch_state = PackedStateFetcher()
     if async_checkpoints:
         save_q = queue.Queue(maxsize=1)
 
@@ -183,8 +241,8 @@ def train_loop(
                 if item is None:
                     return
                 sstep, sstate = item
-                save_checkpoint(ckpt_dir, sstep, jax.device_get(
-                    jax.tree.map(np.asarray, _state_to_pytree(sstate))))
+                save_checkpoint(ckpt_dir, sstep,
+                                fetch_state(_state_to_pytree(sstate)))
                 if logger:
                     logger.info("checkpoint saved at step %d", sstep)
 
@@ -221,8 +279,8 @@ def train_loop(
             if save_q is not None:
                 save_q.put((step, state))  # blocks only if a save is behind
             else:
-                save_checkpoint(ckpt_dir, step, jax.device_get(
-                    jax.tree.map(np.asarray, _state_to_pytree(state))))
+                save_checkpoint(ckpt_dir, step,
+                                fetch_state(_state_to_pytree(state)))
                 if logger:
                     logger.info("checkpoint saved at step %d", step)
         t_data0 = time.time()

@@ -84,3 +84,31 @@ class TestStepTimer:
         upper = 3 * 4 / (0.01 * 3)  # sleeps can only take LONGER than asked
         assert 0.5 * (3 * 4 / wall) <= fps <= upper * 1.05
         assert "fps/chip" in t.summary(4)
+
+
+class TestPackedStateFetcher:
+    def test_roundtrip_equals_device_get(self):
+        """One D2H per dtype must deliver the same pytree as per-leaf
+        device_get (the 80k run's checkpoint fetch paid ~200 leaf RTTs,
+        PERF.md round-3)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ammcnet_aaai2021_tpu.train.loop import PackedStateFetcher
+
+        r = np.random.default_rng(0)
+        tree = {
+            "step": jnp.asarray(7, jnp.int32),
+            "g_params": {"a": jnp.asarray(r.normal(size=(3, 5)),
+                                          jnp.float32),
+                         "b": jnp.asarray(r.normal(size=(4,)), jnp.float32)},
+            "counts": jnp.asarray(r.integers(0, 9, (2, 2)), jnp.int32),
+        }
+        fetch = PackedStateFetcher()
+        got = fetch(tree)
+        want = jax.device_get(tree)
+        for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        got2 = fetch(tree)  # packer is cached after the first call
+        for g, w in zip(jax.tree.leaves(got2), jax.tree.leaves(want)):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
