@@ -46,6 +46,11 @@ def main(argv=None) -> None:
                         "program's own cost")
     p.add_argument("--true_frames", type=int, default=180,
                    help="true (pre-padding) frames per video in --otf mode")
+    p.add_argument("--int8", action="store_true",
+                   help="run the int8 quantized forward (models/quantized: "
+                        "BN-folded, per-channel int8 weights, dynamic "
+                        "per-tensor activation scales) — the dtype_bench "
+                        "lever, measured end-to-end")
     p.add_argument("--folded", action="store_true",
                    help="run the folded two-stream forward (models/folded: "
                         "both streams' convs as ONE vmapped/grouped stack) "
@@ -97,7 +102,21 @@ def main(argv=None) -> None:
 
     import numpy as np
 
-    if args.folded:
+    if args.int8:
+        from ..models.quantized import (make_quantized_forward,
+                                        quantize_twostream_variables)
+
+        qfwd = make_quantized_forward(embed_dim=cfg.embed_dim,
+                                      n_embed=cfg.n_embed, k=cfg.k,
+                                      per_sample_diff=True,
+                                      use_pallas=cfg.use_pallas_memory)
+        qvars = quantize_twostream_variables(variables)
+        jax.block_until_ready(qvars)
+        hb("variables quantized (BN-folded, int8 per-channel)")
+        scorer = make_multi_video_scorer(gen, qvars,
+                                         window_batch=args.window_batch,
+                                         apply_fn=qfwd)
+    elif args.folded:
         from ..models.folded import (fold_twostream_variables,
                                      make_folded_forward)
 
