@@ -45,17 +45,24 @@ def export_scorer(generator, variables, *,
                   n_videos: int, frames: int, size: int,
                   window_batch: int = 192,
                   platforms: Optional[Tuple[str, ...]] = None,
+                  apply_fn: Optional[Callable] = None,
                   extra_meta: Optional[Dict[str, Any]] = None) -> bytes:
     """Export the fused multi-video scorer as one self-contained artifact.
 
     The weights are closed over (baked into the program as constants) —
     a serving artifact pins its weights by design; the live paths keep
     passing them as arguments for cache-key hygiene (infer.py module note).
+
+    ``apply_fn`` overrides the generator forward exactly as in
+    :func:`~.infer.make_multi_video_scorer` — pass the int8 quantized
+    forward (``models.quantized``) with its ``qvars`` as ``variables`` to
+    export a quantized serving artifact.
     """
     from .infer import make_multi_video_scorer
 
     scorer = make_multi_video_scorer(generator, variables,
-                                     window_batch=window_batch)
+                                     window_batch=window_batch,
+                                     apply_fn=apply_fn)
 
     def fn(rgbs, ops):
         return scorer.jitted(variables, rgbs, ops)

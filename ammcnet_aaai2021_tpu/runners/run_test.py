@@ -114,7 +114,7 @@ def main(argv=None) -> dict:
     from ..eval.infer import score_dataset
     from ..eval.scoring import evaluate
     from ..models import build_model
-    from ..train.checkpoint import load_msgpack, restore_checkpoint
+    from ..train.checkpoint import load_generator_variables
     from ..utils.logging_utils import get_logger
     from ..utils.registry import load_run_config, resolve_run
 
@@ -161,26 +161,9 @@ def main(argv=None) -> dict:
         if step is not None:
             ckptfile = os.path.join(ckpt_dir, f"{step:06d}")
     if ckptfile:
-        if ckptfile.endswith(".pth"):
-            from ..tools.torch_convert import convert_pth
-
-            variables = convert_pth(ckptfile, cfg.net.net_tag)
-        elif ckptfile.endswith(".msgpack"):
-            variables = load_msgpack(ckptfile, variables)
-        else:
-            restored = restore_checkpoint(os.path.dirname(ckptfile),
-                                          step=int(os.path.basename(ckptfile)))
-            if "g_params" in restored:  # full train state (train_loop format)
-                variables = {"params": restored["g_params"],
-                             **restored["g_state"]}
-            else:
-                variables = restored
-        # checkpoint restores hand back host numpy leaves; commit them to
-        # the default device once — otherwise every scorer dispatch
-        # re-uploads the 25M params, and scorer_mode='auto' cannot read
-        # the platform off the weights (it would fall back to probing the
-        # default backend)
-        variables = jax.tree.map(jnp.asarray, variables)
+        # format dispatch + device commit shared with runners/export_model
+        variables = load_generator_variables(ckptfile, variables,
+                                             cfg.net.net_tag)
         logger.info("loaded checkpoint %s", ckptfile)
     else:
         logger.warning("no checkpoint: scoring with RANDOM weights (smoke run)")

@@ -51,6 +51,11 @@ def main(argv=None) -> None:
                         "BN-folded, per-channel int8 weights, dynamic "
                         "per-tensor activation scales) — the dtype_bench "
                         "lever, measured end-to-end")
+    p.add_argument("--calibrated", action="store_true",
+                   help="with --int8: calibrate static activation scales "
+                        "on 8 windows first (calibrate_act_scales) — "
+                        "removes the dynamic max|x| reduction pass that "
+                        "costs the whole int8 win (PERF.md)")
     p.add_argument("--folded", action="store_true",
                    help="run the folded two-stream forward (models/folded: "
                         "both streams' convs as ONE vmapped/grouped stack) "
@@ -113,6 +118,24 @@ def main(argv=None) -> None:
         qvars = quantize_twostream_variables(variables)
         jax.block_until_ready(qvars)
         hb("variables quantized (BN-folded, int8 per-channel)")
+        if args.calibrated:
+            from ..models.quantized import calibrate_act_scales
+
+            # 8 windows off video 0, assembled + normalized exactly as the
+            # scorer's stack_windows does (infer.py)
+            rgb_u8, op_v = videos[0]
+
+            def windows(video, t):
+                w = jnp.stack([video[i:i + t] for i in range(8)])
+                b, _, h, wd, c = w.shape
+                return jnp.transpose(w, (0, 2, 3, 1, 4)
+                                     ).reshape(b, h, wd, t * c)
+
+            rgb_w = (windows(rgb_u8, 5).astype(jnp.float32) / 255. - .5) / .5
+            op_w = windows(op_v, 4)
+            qvars = calibrate_act_scales(
+                qfwd, qvars, [(rgb_w[..., :12], op_w[..., :6])])
+            hb("activation scales calibrated (8 windows, static)")
         scorer = make_multi_video_scorer(gen, qvars,
                                          window_batch=args.window_batch,
                                          apply_fn=qfwd)

@@ -71,3 +71,35 @@ def load_msgpack(path: str, target: Any) -> Any:
 
     with open(path, "rb") as fh:
         return serialization.from_bytes(target, fh.read())
+
+
+def load_generator_variables(ckptfile: str, target: Any,
+                             net_tag: Optional[str] = None) -> Any:
+    """Load a generator variable tree from any supported checkpoint format.
+
+    Dispatch on path shape (shared by ``run_test`` and ``export_model``):
+    ``*.pth`` -> torch converter (needs ``net_tag``), ``*.msgpack`` ->
+    flax msgpack against ``target``, else an orbax step dir (either a raw
+    variable tree or a full train state with ``g_params``/``g_state``, the
+    ``train_loop`` format).  Leaves are committed to the default device
+    once — restores hand back host numpy, and without this every scorer
+    dispatch would re-upload the 25M params (run_test.py note).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if ckptfile.endswith(".pth"):
+        from ..tools.torch_convert import convert_pth
+
+        variables = convert_pth(ckptfile, net_tag)
+    elif ckptfile.endswith(".msgpack"):
+        variables = load_msgpack(ckptfile, target)
+    else:
+        restored = restore_checkpoint(os.path.dirname(ckptfile),
+                                      step=int(os.path.basename(ckptfile)))
+        if "g_params" in restored:  # full train state (train_loop format)
+            variables = {"params": restored["g_params"],
+                         **restored["g_state"]}
+        else:
+            variables = restored
+    return jax.tree.map(jnp.asarray, variables)

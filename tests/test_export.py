@@ -6,6 +6,8 @@ Replaces the reference's deploy story — rebuild the model zoo + load a
 with a self-contained versioned StableHLO blob.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -105,3 +107,39 @@ def test_export_platform_mismatch_rejected(tiny_scorer_setup, tmp_path,
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     with pytest.raises(ValueError, match="cannot serve on"):
         load_scorer(path)
+
+
+def test_export_model_cli_toydata(tmp_path):
+    """End-to-end CLI: toydata -> bf16 artifact with --check (reload +
+    live-scorer agreement), then the int8 path through calibration on
+    real training clips + export (no --check: int8 convs are emulated and
+    minutes-slow on CPU; artifact numerics are covered by the bf16 check
+    and tests/test_quantized.py)."""
+    from ammcnet_aaai2021_tpu.runners.export_model import main as export_main
+    from ammcnet_aaai2021_tpu.tools.make_toydata import make_toydata
+
+    root = str(tmp_path / "data")
+    make_toydata(root, frames_per_video=12, image_size=32)
+
+    out = str(tmp_path / "scorer.ammc")
+    res = export_main([
+        "--dataset_name", "toydata", "--data_dir", root,
+        "--out", out, "--image_size", "32",
+        "--n_videos", "2", "--frames", "16", "--window_batch", "4",
+        "--platforms", "cpu", "--check"])
+    assert res["forward"] == "bf16"
+    assert res["check_max_diff"] <= 1e-2  # bf16-ulp program-variant noise
+    assert os.path.getsize(out) == res["bytes"]
+
+    out8 = str(tmp_path / "scorer_int8.ammc")
+    res8 = export_main([
+        "--dataset_name", "toydata", "--data_dir", root,
+        "--out", out8, "--image_size", "32",
+        "--n_videos", "1", "--frames", "16", "--window_batch", "4",
+        "--calib_batches", "1", "--calib_batch_size", "2",
+        "--platforms", "cpu", "--int8"])
+    assert res8["forward"] == "int8-calibrated"
+    assert res8["calib_clips"] == 2
+    # int8 weights baked in -> far smaller than the f32 artifact
+    assert res8["bytes"] < 0.55 * res["bytes"]
+    assert read_header(out8)["forward"] == "int8-calibrated"

@@ -174,3 +174,78 @@ class TestEndToEnd:
         out = scorer(rgbs, ops)
         assert out.shape[0] == 2 and out.shape[1] == 4
         assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+    def test_calibrated_scales_match_dynamic_on_calibration_set(self, built):
+        """Calibrating on batch X then evaluating on X must reproduce the
+        dynamic forward: each site's static scale equals the dynamic
+        per-call scale (asserted exactly at the input site), so outputs
+        agree to float-ulp tolerance.  (Not bit-exact: calibration records
+        maxima from the EAGER dynamic forward, and XLA's fma contraction
+        under jit shifts deep activations by ulps, which can flip isolated
+        int8 rounding boundaries.)  Every quantized conv dict must receive
+        a scale — the structural 1:1 site<->tree-path guarantee."""
+        from ammcnet_aaai2021_tpu.models.quantized import (_quant_act,
+                                                           calibrate_act_scales)
+
+        cfg, gen, variables = built
+        rng = np.random.default_rng(11)
+        rgb = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 12)), jnp.float32)
+        op = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 6)), jnp.float32)
+        qvars = quantize_twostream_variables(variables)
+        fwd = make_quantized_forward(embed_dim=cfg.embed_dim,
+                                     n_embed=cfg.n_embed, k=cfg.k,
+                                     per_sample_diff=True)
+        qcal = calibrate_act_scales(fwd, qvars, [(rgb, op)])
+
+        # structural: EVERY quantized conv dict got an act_scale
+        def conv_dicts(tree):
+            if isinstance(tree, dict):
+                if "w" in tree and "scale" in tree:
+                    yield tree
+                else:
+                    for v in tree.values():
+                        yield from conv_dicts(v)
+        convs = list(conv_dicts({"streams": qcal["streams"],
+                                 "bridge": qcal["bridge"]}))
+        assert len(convs) == 40 and all("act_scale" in c for c in convs)
+
+        # the input site's static scale IS the dynamic scale, exactly
+        _, sx_dyn = _quant_act(rgb)
+        assert np.float32(sx_dyn) == np.float32(
+            qcal["streams"]["rgb"]["inc"]["conv0"]["act_scale"])
+
+        r_dyn, o_dyn, _, _ = jax.jit(fwd)(qvars, rgb, op)
+        r_cal, o_cal, _, _ = jax.jit(fwd)(qcal, rgb, op)
+        np.testing.assert_allclose(np.asarray(r_dyn, np.float32),
+                                   np.asarray(r_cal, np.float32),
+                                   atol=5e-5, rtol=0)
+        np.testing.assert_allclose(np.asarray(o_dyn, np.float32),
+                                   np.asarray(o_cal, np.float32),
+                                   atol=5e-5, rtol=0)
+
+    def test_calibrated_tracks_dynamic_on_fresh_data(self, built):
+        """On data the calibration never saw (same distribution), static
+        scales may clip rare maxima but outputs must stay close."""
+        from ammcnet_aaai2021_tpu.models.quantized import calibrate_act_scales
+
+        cfg, gen, variables = built
+        rng = np.random.default_rng(13)
+        cal = [(jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 12)),
+                            jnp.float32),
+                jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 6)),
+                            jnp.float32)) for _ in range(3)]
+        rgb = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 12)), jnp.float32)
+        op = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 6)), jnp.float32)
+        qvars = quantize_twostream_variables(variables)
+        fwd = make_quantized_forward(embed_dim=cfg.embed_dim,
+                                     n_embed=cfg.n_embed, k=cfg.k,
+                                     per_sample_diff=True)
+        qcal = calibrate_act_scales(fwd, qvars, cal)
+        r_dyn, o_dyn, _, _ = jax.jit(fwd)(qvars, rgb, op)
+        r_cal, o_cal, _, _ = jax.jit(fwd)(qcal, rgb, op)
+        for dyn, calo in ((r_dyn, r_cal), (o_dyn, o_cal)):
+            dyn = np.asarray(dyn, np.float32).ravel()
+            calo = np.asarray(calo, np.float32).ravel()
+            assert np.all(np.isfinite(calo))
+            r = np.corrcoef(dyn, calo)[0, 1]
+            assert r > 0.99, f"calibrated/dynamic correlation {r}"
