@@ -55,7 +55,8 @@ def make_video_scorer(generator, variables,
                       rgb_channels: int = 3, op_channels: int = 2,
                       mesh=None, metric: str = "psnr",
                       op_metric: Optional[str] = None,
-                      reproduce_op_psnr_bug: bool = False) -> Callable:
+                      reproduce_op_psnr_bug: bool = False,
+                      apply_fn: Optional[Callable] = None) -> Callable:
     """Video-resident scorer: the whole sub-video lives on device (uint8
     frames + float flows, uploaded ONCE); each call gathers a batch of
     sliding windows on-device, normalizes, channel-stacks, and scores —
@@ -82,6 +83,9 @@ def make_video_scorer(generator, variables,
 
     metric_fn = PER_FRAME_METRICS[metric]
     op_metric_fn = _resolve_op_metric(metric, op_metric)
+    if apply_fn is None:  # same override hook as make_multi_video_scorer
+        def apply_fn(vars_, rgb_input, op_input):
+            return generator.apply(vars_, rgb_input, op_input, False)
 
     def score_windows(vars_, video_rgb_u8: jax.Array, video_op: jax.Array,
                       idx: jax.Array):
@@ -95,8 +99,7 @@ def make_video_scorer(generator, variables,
         rgb_target = rgb_clip[..., -rgb_channels:]
         op_input = op_clip[..., :-op_channels]
         op_target = op_clip[..., -op_channels:]
-        rgb_pred, op_pred, diffs, _ = generator.apply(
-            vars_, rgb_input, op_input, False)
+        rgb_pred, op_pred, diffs, _ = apply_fn(vars_, rgb_input, op_input)
         rgb_diff, op_diff = diffs
         if reproduce_op_psnr_bug:
             op_score = op_psnr_reference_bug(op_pred, op_input)

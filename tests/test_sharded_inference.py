@@ -122,3 +122,51 @@ class TestTensorParallelPlacement:
                         jnp.zeros((2, 32, 32, 6)))
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestInt8UnderMesh:
+    def test_mesh_scorer_int8_matches_single_device(self, cpu_mesh_devices,
+                                                    rng):
+        """Multi-chip serving of the QUANTIZED forward (the deployment
+        shape x the int8 lever): calibrated int8 windows sharded over the
+        data axis must reproduce the unsharded int8 scorer exactly — the
+        static act_scales replicate with the weights, and window sharding
+        cannot change per-window numerics."""
+        from ammcnet_aaai2021_tpu.models.quantized import (
+            calibrate_act_scales, make_quantized_forward,
+            quantize_twostream_variables)
+
+        cfg = NetConfig(dtype="float32", use_pallas_memory=False,
+                        n_embed=32, image_size=32)
+        gen = build_generator(cfg, per_sample_diff=True)
+        size = 32
+        variables = gen.init({"params": jax.random.PRNGKey(0)},
+                             jnp.zeros((1, size, size, 12)),
+                             jnp.zeros((1, size, size, 6)))
+        qfwd = make_quantized_forward(embed_dim=cfg.embed_dim,
+                                      n_embed=cfg.n_embed, k=cfg.k,
+                                      per_sample_diff=True)
+        qvars = quantize_twostream_variables(variables)
+        cal_rgb = jnp.asarray(rng.uniform(-1, 1, (2, size, size, 12)),
+                              jnp.float32)
+        cal_op = jnp.asarray(rng.uniform(-1, 1, (2, size, size, 6)),
+                             jnp.float32)
+        qcal = calibrate_act_scales(qfwd, qvars, [(cal_rgb, cal_op)])
+
+        video = jnp.asarray(
+            rng.integers(0, 255, (12, size, size, 3), np.uint8))
+        flows = jnp.asarray(
+            rng.normal(0, 0.02, (11, size, size, 2)).astype(np.float32))
+        idx = jnp.arange(8)
+
+        single = make_video_scorer(gen, qcal, window_batch=8,
+                                   apply_fn=qfwd)
+        mesh = make_mesh(8, devices=cpu_mesh_devices)
+        sharded = make_video_scorer(gen, qcal, window_batch=8, mesh=mesh,
+                                    apply_fn=qfwd)
+        ref = single(video, flows, idx)
+        out = sharded(video, flows, idx)
+        assert len(out[0].sharding.device_set) == 8
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=1e-5, atol=1e-5)
