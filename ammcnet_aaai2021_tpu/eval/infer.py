@@ -142,7 +142,8 @@ def make_full_video_scorer(generator, variables,
                            rgb_channels: int = 3, op_channels: int = 2,
                            metric: str = "psnr",
                            op_metric: Optional[str] = None,
-                           reproduce_op_psnr_bug: bool = False
+                           reproduce_op_psnr_bug: bool = False,
+                           apply_fn: Optional[Callable] = None
                            ) -> Callable:
     """Whole-video scorer: ONE jit call scores every sliding window of a
     sub-video (lax.map over window batches inside the program), so a video
@@ -166,6 +167,9 @@ def make_full_video_scorer(generator, variables,
 
     metric_fn = PER_FRAME_METRICS[metric]
     op_metric_fn = _resolve_op_metric(metric, op_metric)
+    if apply_fn is None:  # same override hook as make_multi_video_scorer
+        def apply_fn(vars_, rgb_input, op_input):
+            return generator.apply(vars_, rgb_input, op_input, False)
 
     def score_batch(vars_, video_rgb, video_op, idx):
         rgb_clip = stack_windows(video_rgb, idx, clip_len_rgb)
@@ -173,8 +177,7 @@ def make_full_video_scorer(generator, variables,
         rgb = (rgb_clip.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         rgb_input, rgb_target = rgb[..., :-rgb_channels], rgb[..., -rgb_channels:]
         op_input, op_target = op_clip[..., :-op_channels], op_clip[..., -op_channels:]
-        rgb_pred, op_pred, diffs, _ = generator.apply(
-            vars_, rgb_input, op_input, False)
+        rgb_pred, op_pred, diffs, _ = apply_fn(vars_, rgb_input, op_input)
         rgb_diff, op_diff = diffs
         if reproduce_op_psnr_bug:
             op_score = op_psnr_reference_bug(op_pred, op_input)
@@ -569,6 +572,7 @@ def score_dataset(
     use_native_loader: bool = False,
     shard_dir: Optional[str] = None,
     scorer_mode: str = "auto",
+    apply_fn: Optional[Callable] = None,
 ) -> Tuple[Dict, float]:
     """Per-video batched scoring over a test set.
 
@@ -614,12 +618,12 @@ def score_dataset(
         scorer = make_full_video_scorer(
             generator, variables, clip_len_rgb, clip_len_op,
             window_batch=window_batch, metric=metric, op_metric=op_metric,
-            reproduce_op_psnr_bug=reproduce_op_psnr_bug)
+            reproduce_op_psnr_bug=reproduce_op_psnr_bug, apply_fn=apply_fn)
     elif scorer_mode == "batch":
         scorer = make_video_scorer(
             generator, variables, clip_len_rgb, clip_len_op,
             window_batch=window_batch, metric=metric, op_metric=op_metric,
-            reproduce_op_psnr_bug=reproduce_op_psnr_bug)
+            reproduce_op_psnr_bug=reproduce_op_psnr_bug, apply_fn=apply_fn)
     else:
         raise ValueError(f"unknown scorer_mode {scorer_mode!r} "
                          "(batch | video | auto)")

@@ -291,3 +291,37 @@ def calibrate_act_scales(forward, qvars: Dict, batches,
         raise RuntimeError(f"calibration recorded {n_sites} sites, "
                            "expected 40 — forward structure drifted")
     return qcal
+
+
+def calibrated_int8_from_dataset(net_cfg, variables, data_dir: str,
+                                 dataset_name: str, image_size: int,
+                                 calib_batches: int = 4,
+                                 calib_batch_size: int = 8):
+    """One-stop int8 serving prep shared by ``run_test --int8`` and
+    ``export_model --int8``: quantize the float variable tree, then
+    calibrate activation scales on clips sampled from the dataset's
+    TRAINING split (the reference's per-dataset-model protocol).
+
+    Returns ``(apply_fn, qvars)`` — pass both to a scorer
+    (``apply_fn=``/``variables=``) or to ``export_scorer``.
+    """
+    import os
+
+    from ..data import get_dataset
+
+    fwd = make_quantized_forward(
+        embed_dim=net_cfg.embed_dim, n_embed=net_cfg.n_embed, k=net_cfg.k,
+        per_sample_diff=True, use_pallas=net_cfg.use_pallas_memory)
+    qvars = quantize_twostream_variables(variables)
+    train_root = os.path.join(data_dir, dataset_name, "training")
+    sampler = get_dataset("rgb_op", "training",
+                          rgb_root=os.path.join(train_root, "frames"),
+                          op_root=os.path.join(train_root, "flows"),
+                          image_size=image_size)
+    n_rgb_in, n_op_in = net_cfg.in_channel
+    batches = []
+    for _ in range(calib_batches):
+        b = sampler.batch(calib_batch_size)
+        batches.append((jnp.asarray(b["rgb"][..., :n_rgb_in]),
+                        jnp.asarray(b["op"][..., :n_op_in])))
+    return fwd, calibrate_act_scales(fwd, qvars, batches)

@@ -103,30 +103,11 @@ def main(argv=None) -> dict:
     if args.int8:
         if not args.data_dir:
             raise SystemExit("--int8 needs --data_dir (calibration clips)")
-        from ..data import get_dataset
-        from ..models.quantized import (calibrate_act_scales,
-                                        make_quantized_forward,
-                                        quantize_twostream_variables)
+        from ..models.quantized import calibrated_int8_from_dataset
 
-        apply_fn = make_quantized_forward(
-            embed_dim=cfg.net.embed_dim, n_embed=cfg.net.n_embed,
-            k=cfg.net.k, per_sample_diff=True,
-            use_pallas=cfg.net.use_pallas_memory)
-        qvars = quantize_twostream_variables(variables)
-        train_root = os.path.join(args.data_dir, args.dataset_name,
-                                  "training")
-        sampler = get_dataset(
-            "rgb_op", "training",
-            rgb_root=os.path.join(train_root, "frames"),
-            op_root=os.path.join(train_root, "flows"),
-            image_size=size)
-        n_rgb_in, n_op_in = cfg.net.in_channel
-        batches = []
-        for _ in range(args.calib_batches):
-            b = sampler.batch(args.calib_batch_size)
-            batches.append((jnp.asarray(b["rgb"][..., :n_rgb_in]),
-                            jnp.asarray(b["op"][..., :n_op_in])))
-        export_vars = calibrate_act_scales(apply_fn, qvars, batches)
+        apply_fn, export_vars = calibrated_int8_from_dataset(
+            cfg.net, variables, args.data_dir, args.dataset_name, size,
+            args.calib_batches, args.calib_batch_size)
         meta.update(forward="int8-calibrated",
                     calib_clips=args.calib_batches * args.calib_batch_size)
         logger.info("calibrated %d activation sites on %d clips", 40,

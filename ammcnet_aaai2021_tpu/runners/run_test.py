@@ -93,6 +93,13 @@ def parser_args(argv=None):
                         "broadcast to 3 on device — 1/3 the host->device "
                         "bytes, bit-identical scores (guarded: fails loudly "
                         "on color data)")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the quantized forward (models/quantized: "
+                        "BN-folded per-channel int8 weights, activation "
+                        "scales calibrated on <data_dir>/<dataset>/training "
+                        "clips) — 1.26x the bf16 scorer on a v5e (PERF.md)")
+    p.add_argument("--calib_clips", type=int, default=32,
+                   help="training clips for --int8 calibration")
     return p.parse_args(argv)
 
 
@@ -192,6 +199,17 @@ def main(argv=None) -> dict:
         raise SystemExit("--gray_upload requires --on_the_fly_flow (the "
                          "device-side broadcast lives in the extract program)")
 
+    apply_fn = None
+    if args.int8:
+        from ..models.quantized import calibrated_int8_from_dataset
+
+        apply_fn, variables = calibrated_int8_from_dataset(
+            cfg.net, variables, args.data_dir, args.dataset_name, size,
+            calib_batches=max(1, args.calib_clips // 8),
+            calib_batch_size=min(8, args.calib_clips))
+        logger.info("serving int8 (calibrated on %d training clips)",
+                    args.calib_clips)
+
     rgb_root = os.path.join(args.data_dir, args.dataset_name, "testing", "frames")
     op_root = os.path.join(args.data_dir, args.dataset_name, "testing", "flows")
     multihost = jax.process_count() > 1
@@ -209,7 +227,7 @@ def main(argv=None) -> dict:
         use_native_loader=args.native_loader,
         shard_dir=(os.path.join(args.save_dir, "record_shards")
                    if multihost else None),
-        scorer_mode=args.scorer_mode)
+        scorer_mode=args.scorer_mode, apply_fn=apply_fn)
     if multihost and jax.process_index() != 0:
         # records were merged by rank 0; this rank only contributed scores
         logger.info("rank %d done (%.3f local fps)", jax.process_index(), fps)

@@ -275,3 +275,28 @@ class TestNativeLoader:
             natf = native.load_flow_video(fpaths, (64, 64), bug)
             reff = np.stack([load_flow(p, (64, 64), bug) for p in fpaths])
             np.testing.assert_allclose(natf, reff, atol=1e-6)
+
+
+class TestInt8CLI:
+    def test_run_test_int8_end_to_end(self, tmp_path):
+        """--int8: quantize + calibrate on the training split, then score
+        the test split through the standard eval path (score_dataset with
+        the quantized apply_fn).  32x32/10-frame data: int8 convs are
+        EMULATED on CPU and minutes-slow at any real size; the chip-side
+        throughput claim lives in device_bench --int8 --calibrated
+        (PERF.md).  Pins: CLI plumbing, record schema, sane AUC."""
+        from ammcnet_aaai2021_tpu.runners.run_test import main
+
+        root = str(tmp_path / "data")
+        make_toydata(root, frames_per_video=10, image_size=32)
+        ret = main(["--dataset_name", "toydata", "--data_dir", root,
+                    "--save_dir", str(tmp_path / "eval"),
+                    "--batch_size", "4", "--image_size", "32",
+                    "--scorer_mode", "batch",
+                    "--int8", "--calib_clips", "4"])
+        assert 0.0 <= ret["auc"] <= 1.0
+        with open(ret["pickle"], "rb") as fh:
+            rec = pickle.load(fh)
+        assert len(rec["rgb_img_pred_records"]) == 2
+        assert all(len(a) == 10 for a in rec["rgb_img_pred_records"])
+        assert all(np.isfinite(a).all() for a in rec["rgb_img_pred_records"])
