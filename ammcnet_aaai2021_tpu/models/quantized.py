@@ -128,8 +128,9 @@ def _quant_in(x: jax.Array, q: Dict, record: Optional[Dict], site: str
     fuses into the producer), else dynamic per-tensor.  ``record`` (eager
     calibration mode) accumulates the site's running max|x|."""
     if record is not None:
-        record[site] = max(record.get(site, 0.0),
-                           float(jnp.max(jnp.abs(x.astype(jnp.float32)))))
+        m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        prev = record.get(site)
+        record[site] = m if prev is None else jnp.maximum(prev, m)
     sx = q.get("act_scale")
     if sx is None:
         return _quant_act(x)
@@ -241,9 +242,12 @@ def make_quantized_forward(embed_dim: int = 64, n_embed: int = 256,
 def calibrate_act_scales(forward, qvars: Dict, batches,
                          headroom: float = 1.0) -> Dict:
     """Calibrate static activation scales: run the (dynamic) quantized
-    forward EAGERLY over ``batches`` of ``(rgb_x, op_x)`` windows, record
-    each conv input's running max|x|, and return a new qvars tree with
-    ``act_scale`` set at every conv site.
+    forward over ``batches`` of ``(rgb_x, op_x)`` windows, record each conv
+    input's running max|x|, and return a new qvars tree with ``act_scale``
+    set at every conv site.  The record pass is JITTED and all 40 sites'
+    maxima come back in ONE fetch per batch — an eager pass paid 40
+    blocking device->host fetches per batch, seconds each over a degraded
+    tunnel (PERF.md "tunnel-health methodology").
 
     Why: the dynamic path's per-call max|x| is a full reduction pass over
     every conv input that XLA cannot fuse into the conv — measured on chip
@@ -257,9 +261,18 @@ def calibrate_act_scales(forward, qvars: Dict, batches,
     models (no cross-dataset serving): a few hundred windows of the target
     dataset's training split.
     """
+    def _record_pass(qv, rgb_x, op_x):
+        rec: Dict[str, jax.Array] = {}
+        forward(qv, rgb_x, op_x, record=rec)
+        return rec
+
+    rec_jit = jax.jit(_record_pass)
     record: Dict[str, float] = {}
     for rgb_x, op_x in batches:
-        forward(qvars, jnp.asarray(rgb_x), jnp.asarray(op_x), record=record)
+        got = jax.device_get(rec_jit(qvars, jnp.asarray(rgb_x),
+                                     jnp.asarray(op_x)))
+        for site, m in got.items():
+            record[site] = max(record.get(site, 0.0), float(m))
 
     def apply_scales(tree: Dict, base: str) -> Dict:
         out = {}
