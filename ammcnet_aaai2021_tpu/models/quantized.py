@@ -127,6 +127,13 @@ def _quant_in(x: jax.Array, q: Dict, record: Optional[Dict], site: str
     (``act_scale`` in the weight dict — no reduction pass, the round/clip
     fuses into the producer), else dynamic per-tensor.  ``record`` (eager
     calibration mode) accumulates the site's running max|x|."""
+    if x.dtype == jnp.int8:
+        # int8 residency: the producer conv already quantized to THIS
+        # site's calibrated scale in its epilogue (see ``_qconv``'s
+        # ``out_scale``) — the activation travelled HBM as 1 byte/elem
+        # and no quantize pass runs here.
+        assert record is None, "record pass cannot consume int8 inputs"
+        return x, q["act_scale"]
     if record is not None:
         m = jnp.max(jnp.abs(x.astype(jnp.float32)))
         prev = record.get(site)
@@ -140,13 +147,26 @@ def _quant_in(x: jax.Array, q: Dict, record: Optional[Dict], site: str
 
 
 def _qconv(x: jax.Array, q: Dict, relu: bool,
-           record: Optional[Dict] = None, site: str = "") -> jax.Array:
+           record: Optional[Dict] = None, site: str = "",
+           out_scale: Optional[jax.Array] = None) -> jax.Array:
     xq, sx = _quant_in(x, q, record, site)
     acc = lax.conv_general_dilated(xq, q["w"], (1, 1), "SAME",
                                    dimension_numbers=_DN,
                                    preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (sx * q["scale"]) + q["bias"]
     y = y.astype(jnp.bfloat16)
+    if out_scale is not None:
+        # int8 residency: quantize to the CONSUMER conv's calibrated scale
+        # right in this conv's epilogue, so the activation is stored/read
+        # as int8 (half the HBM bytes of bf16) and the consumer skips its
+        # quantize pass.  The bf16 cast above is kept so the int8 value
+        # equals the non-resident path's next-site quantization
+        # BIT-FOR-BIT (tests/test_quantized.py), and ReLU commutes with
+        # the monotone round/clip for a symmetric positive scale:
+        # relu(clip(round(y/s))) == clip(round(relu(y)/s)).
+        q8 = jnp.clip(jnp.round(y.astype(jnp.float32) / out_scale),
+                      -127, 127).astype(jnp.int8)
+        return jnp.maximum(q8, jnp.int8(0)) if relu else q8
     return jax.nn.relu(y) if relu else y
 
 
@@ -163,33 +183,48 @@ def _qconv_transpose(x: jax.Array, q: Dict,
 
 
 def _q_double(x: jax.Array, q: Dict,
-              record: Optional[Dict] = None, site: str = "") -> jax.Array:
-    x = _qconv(x, q["conv0"], True, record, f"{site}/conv0")
+              record: Optional[Dict] = None, site: str = "",
+              resident: bool = True) -> jax.Array:
+    # conv0 -> conv1 is the one producer/consumer pair with a single
+    # consumer at every site, so it carries int8 residency whenever
+    # conv1's scale is calibrated (never during a record pass).
+    nxt = q["conv1"].get("act_scale") if (resident and record is None) \
+        else None
+    x = _qconv(x, q["conv0"], True, record, f"{site}/conv0", out_scale=nxt)
     return _qconv(x, q["conv1"], True, record, f"{site}/conv1")
 
 
 def _q_down(x: jax.Array, q: Dict,
-            record: Optional[Dict] = None, site: str = "") -> jax.Array:
+            record: Optional[Dict] = None, site: str = "",
+            resident: bool = True) -> jax.Array:
     b, h, w, c = x.shape
     x = jnp.max(x.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
-    return _q_double(x, q, record, site)
+    return _q_double(x, q, record, site, resident)
 
 
 def _q_up(x1: jax.Array, skip: jax.Array, q: Dict,
-          record: Optional[Dict] = None, site: str = "") -> jax.Array:
+          record: Optional[Dict] = None, site: str = "",
+          resident: bool = True) -> jax.Array:
     x1 = _qconv_transpose(x1, q["up"], record, f"{site}/up")
     x = jnp.concatenate([skip, x1], axis=-1)
-    return _q_double(x, q["conv"], record, f"{site}/conv")
+    return _q_double(x, q["conv"], record, f"{site}/conv", resident)
 
 
 def make_quantized_forward(embed_dim: int = 64, n_embed: int = 256,
                            k: int = 2, bridge_kind: str = "amft",
                            per_sample_diff: bool = False,
-                           use_pallas: bool = False):
+                           use_pallas: bool = False,
+                           resident: bool = True):
     """Builds ``forward(qvars, rgb_x, op_x)`` returning the same
     ``(rgb_pred, op_pred, (rgb_diff, op_diff), None)`` contract as
     ``TwoStreamUNetMem.apply(..., train=False)`` with every conv int8.
     ``qvars`` comes from :func:`quantize_twostream_variables`.
+
+    ``resident=True`` (default) keeps each DoubleConv's conv0->conv1
+    activation in int8 end to end once scales are calibrated — bit-exact
+    vs the non-resident path, half the HBM bytes on the widest tensors
+    (``--no_resident`` in ``tools/device_bench`` A/Bs it on chip).  It is
+    a no-op for uncalibrated (dynamic-scale) trees and record passes.
     """
     stream = UNetMemStream(embed_dim=embed_dim, n_embed=n_embed, k=k,
                            dtype=jnp.bfloat16, use_pallas=use_pallas,
@@ -204,17 +239,17 @@ def make_quantized_forward(embed_dim: int = 64, n_embed: int = 256,
                             method=UNetMemStream.memory)
 
     def stream_encode(sq: Dict, x: jax.Array, rec, base: str):
-        x1 = _q_double(x, sq["inc"], rec, f"{base}/inc")
-        x2 = _q_down(x1, sq["down1"], rec, f"{base}/down1")
-        x3 = _q_down(x2, sq["down2"], rec, f"{base}/down2")
-        x4 = _q_down(x3, sq["down3"], rec, f"{base}/down3")
+        x1 = _q_double(x, sq["inc"], rec, f"{base}/inc", resident)
+        x2 = _q_down(x1, sq["down1"], rec, f"{base}/down1", resident)
+        x3 = _q_down(x2, sq["down2"], rec, f"{base}/down2", resident)
+        x4 = _q_down(x3, sq["down3"], rec, f"{base}/down3", resident)
         return x1, x2, x3, x4
 
     def stream_decode(sq: Dict, x4: jax.Array, skips, rec, base: str):
         x1, x2, x3 = skips
-        y = _q_up(x4, x3, sq["up1"], rec, f"{base}/up1")
-        y = _q_up(y, x2, sq["up2"], rec, f"{base}/up2")
-        y = _q_up(y, x1, sq["up3"], rec, f"{base}/up3")
+        y = _q_up(x4, x3, sq["up1"], rec, f"{base}/up1", resident)
+        y = _q_up(y, x2, sq["up2"], rec, f"{base}/up2", resident)
+        y = _q_up(y, x1, sq["up3"], rec, f"{base}/up3", resident)
         y = _qconv(y, sq["outc"], False, rec, f"{base}/outc")
         return jnp.tanh(y.astype(jnp.float32))
 
@@ -227,9 +262,9 @@ def make_quantized_forward(embed_dim: int = 64, n_embed: int = 256,
         o4m, op_diff, _ = memory(qvars["mem"]["op"], o4)
         # AMFT bridge (unet.py:956-964): x = zx + O2F(zy); y = zy + F2O(zx)
         r4b = r4m + _q_double(o4m, qvars["bridge"]["O2F"], record,
-                              "bridge/O2F")
+                              "bridge/O2F", resident)
         o4b = o4m + _q_double(r4m, qvars["bridge"]["F2O"], record,
-                              "bridge/F2O")
+                              "bridge/F2O", resident)
         rgb_pred = stream_decode(sq_r, r4b, (r1, r2, r3), record,
                                  "streams/rgb")
         op_pred = stream_decode(sq_o, o4b, (o1, o2, o3), record,

@@ -56,6 +56,11 @@ def main(argv=None) -> None:
                         "on 8 windows first (calibrate_act_scales) — "
                         "removes the dynamic max|x| reduction pass that "
                         "costs the whole int8 win (PERF.md)")
+    p.add_argument("--no_resident", action="store_true",
+                   help="with --int8 --calibrated: disable int8 residency "
+                        "(conv0->conv1 activations stored bf16 instead of "
+                        "int8) — the A/B control for the residency lever; "
+                        "bit-identical scores either way")
     p.add_argument("--folded", action="store_true",
                    help="run the folded two-stream forward (models/folded: "
                         "both streams' convs as ONE vmapped/grouped stack) "
@@ -114,7 +119,8 @@ def main(argv=None) -> None:
         qfwd = make_quantized_forward(embed_dim=cfg.embed_dim,
                                       n_embed=cfg.n_embed, k=cfg.k,
                                       per_sample_diff=True,
-                                      use_pallas=cfg.use_pallas_memory)
+                                      use_pallas=cfg.use_pallas_memory,
+                                      resident=not args.no_resident)
         qvars = quantize_twostream_variables(variables)
         jax.block_until_ready(qvars)
         hb("variables quantized (BN-folded, int8 per-channel)")

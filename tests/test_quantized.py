@@ -223,6 +223,70 @@ class TestEndToEnd:
                                    np.asarray(o_cal, np.float32),
                                    atol=5e-5, rtol=0)
 
+    def test_resident_int8_bit_equals_nonresident(self, built):
+        """int8 residency (conv0->conv1 activations stored int8 at the
+        consumer's calibrated scale) must be BIT-EXACT vs the non-resident
+        calibrated forward: the epilogue keeps the bf16 cast before the
+        round/clip, and ReLU commutes with the monotone round/clip for a
+        symmetric positive scale."""
+        from ammcnet_aaai2021_tpu.models.quantized import calibrate_act_scales
+
+        cfg, gen, variables = built
+        rng = np.random.default_rng(17)
+        cal = [(jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 12)),
+                            jnp.float32),
+                jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 6)),
+                            jnp.float32))]
+        rgb = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 12)), jnp.float32)
+        op = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 6)), jnp.float32)
+        qvars = quantize_twostream_variables(variables)
+        fwd_res = make_quantized_forward(embed_dim=cfg.embed_dim,
+                                         n_embed=cfg.n_embed, k=cfg.k,
+                                         per_sample_diff=True,
+                                         resident=True)
+        fwd_off = make_quantized_forward(embed_dim=cfg.embed_dim,
+                                         n_embed=cfg.n_embed, k=cfg.k,
+                                         per_sample_diff=True,
+                                         resident=False)
+        qcal = calibrate_act_scales(fwd_res, qvars, cal)
+        r_a, o_a, (da_r, da_o), _ = jax.jit(fwd_res)(qcal, rgb, op)
+        r_b, o_b, (db_r, db_o), _ = jax.jit(fwd_off)(qcal, rgb, op)
+        for a, b in ((r_a, r_b), (o_a, o_b), (da_r, db_r), (da_o, db_o)):
+            np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                          np.asarray(b, np.float32))
+        # uncalibrated (dynamic) trees: residency is a structural no-op
+        r_c, o_c, _, _ = jax.jit(fwd_res)(qvars, rgb, op)
+        r_d, o_d, _, _ = jax.jit(fwd_off)(qvars, rgb, op)
+        np.testing.assert_array_equal(np.asarray(r_c, np.float32),
+                                      np.asarray(r_d, np.float32))
+        np.testing.assert_array_equal(np.asarray(o_c, np.float32),
+                                      np.asarray(o_d, np.float32))
+
+    def test_qconv_out_scale_emits_int8_and_chains_exactly(self):
+        """Unit contract of the residency epilogue: _qconv(out_scale=s)
+        returns int8, and feeding it to the next _qconv (whose act_scale
+        is s) reproduces the bf16 hand-off bit-for-bit."""
+        rng = np.random.default_rng(19)
+        w0 = _exact_weight(rng, (3, 3, 8, 8), out_axis=3)
+        w1 = _exact_weight(rng, (3, 3, 8, 8), out_axis=3)
+        q0 = _quant_weight(w0, 3)
+        q0["bias"] = jnp.asarray(rng.normal(size=8).astype(np.float32))
+        q1 = _quant_weight(w1, 3)
+        q1["bias"] = jnp.asarray(rng.normal(size=8).astype(np.float32))
+        x = jnp.asarray(rng.integers(-127, 128, (2, 8, 8, 8))
+                        .astype(np.float32)).at[0, 0, 0, 0].set(127.0)
+        s1 = jnp.float32(0.37)  # the consumer's calibrated scale
+        q1c = dict(q1, act_scale=s1)
+
+        y8 = _qconv(x, q0, relu=True, out_scale=s1)
+        assert y8.dtype == jnp.int8
+        got = _qconv(y8, q1c, relu=True)
+
+        y_bf = _qconv(x, q0, relu=True)  # bf16 hand-off
+        ref = _qconv(y_bf, q1c, relu=True)
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(ref, np.float32))
+
     def test_calibrated_tracks_dynamic_on_fresh_data(self, built):
         """On data the calibration never saw (same distribution), static
         scales may clip rare maxima but outputs must stay close."""
