@@ -39,6 +39,11 @@ FUSION_LAMBDAS: Dict[str, Tuple[float, float]] = {
     "ped2": (0.01, 0.55),
     "avenue": (0.04, 0.65),
     "shanghaitech": (0.13, 0.60),
+    # toydata is ours (no reference value): lam chosen from the
+    # tools/lam_sweep.py AUC grid over the hard-toydata recipe pickles —
+    # 0.01 is the argmax at the 400-step scratch budget and within 5e-4 of
+    # psnr-only everywhere else (PERF.md "memory channel" section).
+    "toydata": (0.01, 0.55),
 }
 
 # Frames at the start of each video whose scores are undecidable because the

@@ -33,8 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.datasets import VideoIndex
-from ..ops.metrics import (OP_PER_FRAME_METRICS, PER_FRAME_METRICS,
-                           psnr_per_frame)
+from ..ops.metrics import OP_PER_FRAME_METRICS, PER_FRAME_METRICS
 
 # Every scorer factory below passes the model weights into the jitted
 # program as PARAMETERS, not baked-in HLO constants: the traced module
@@ -47,6 +46,63 @@ def _resolve_op_metric(metric: str, op_metric: Optional[str]):
     """Op-stream metric fn: ``op_metric`` overrides (flow-native 'epe'
     allowed); None inherits the rgb-stream metric, reference behavior."""
     return OP_PER_FRAME_METRICS[op_metric or metric]
+
+
+def _stack_windows(video: jax.Array, idx: jax.Array, t: int) -> jax.Array:
+    """Gather ``len(idx)`` sliding windows of ``t`` frames and fold time into
+    channels: (T,h,w,c) + (b,) starts -> (b,h,w,t*c), channel order
+    [f0_c0..f0_cn, f1_c0..] (the reference's ``view(b,-1,h,w)`` fold,
+    train_helper.py:302-305, in NHWC)."""
+    widx = idx[:, None] + jnp.arange(t)[None, :]  # (b, t)
+    frames = video[widx]  # (b, t, h, w, c)
+    b, _, h, w, c = frames.shape
+    return jnp.transpose(frames, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
+
+
+def _make_score_batch(generator, clip_len_rgb: int, clip_len_op: int,
+                      rgb_channels: int, op_channels: int,
+                      metric: str, op_metric: Optional[str],
+                      reproduce_op_psnr_bug: bool,
+                      apply_fn: Optional[Callable]) -> Callable:
+    """The ONE scoring kernel every scorer factory wraps.
+
+    ``score_batch(vars_, video_rgb_u8, video_op, idx) -> tuple of 4 (b,)
+    vectors`` (rgb_psnr, rgb_fea, op_psnr, op_fea): gathers uint8 windows
+    on-device, normalizes only the gathered clip, runs the generator (or the
+    ``apply_fn`` override — folded / int8 forwards), and computes the
+    per-frame metrics.  Shared by make_video_scorer (tuple, optionally
+    sharded), make_full_video_scorer and make_multi_video_scorer (stacked
+    inside lax.map) so the metric surface cannot diverge between them
+    (it had: the bench/export path once hard-coded psnr, VERDICT r3)."""
+    metric_fn = PER_FRAME_METRICS[metric]
+    op_metric_fn = _resolve_op_metric(metric, op_metric)
+    if apply_fn is None:
+        def apply_fn(vars_, rgb_input, op_input):
+            return generator.apply(vars_, rgb_input, op_input, False)
+
+    def score_batch(vars_, video_rgb, video_op, idx):
+        # gather uint8 windows FIRST, then normalize only the (b,h,w,t*c)
+        # clip — normalizing the whole video would redo full-video work in
+        # every per-batch call
+        rgb_clip = _stack_windows(video_rgb, idx, clip_len_rgb)
+        op_clip = _stack_windows(video_op, idx, clip_len_op)
+        rgb = (rgb_clip.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        rgb_input, rgb_target = rgb[..., :-rgb_channels], rgb[..., -rgb_channels:]
+        op_input, op_target = op_clip[..., :-op_channels], op_clip[..., -op_channels:]
+        rgb_pred, op_pred, diffs, _ = apply_fn(vars_, rgb_input, op_input)
+        rgb_diff, op_diff = diffs
+        if reproduce_op_psnr_bug:
+            op_score = op_psnr_reference_bug(op_pred, op_input)
+        else:
+            op_score = op_metric_fn(op_pred, op_target.astype(jnp.float32))
+        return (
+            metric_fn(rgb_pred, rgb_target),
+            jnp.broadcast_to(rgb_diff, rgb_pred.shape[:1]).astype(jnp.float32),
+            op_score,
+            jnp.broadcast_to(op_diff, op_pred.shape[:1]).astype(jnp.float32),
+        )
+
+    return score_batch
 
 
 def make_video_scorer(generator, variables,
@@ -74,43 +130,9 @@ def make_video_scorer(generator, variables,
     window start frames.
     """
 
-    def stack_windows(video: jax.Array, idx: jax.Array, t: int) -> jax.Array:
-        widx = idx[:, None] + jnp.arange(t)[None, :]  # (b, t)
-        frames = video[widx]  # (b, t, h, w, c)
-        b, _, h, w, c = frames.shape
-        # (b,t,h,w,c) -> (b,h,w,t*c): channel order [f0_c0..f0_cn, f1_c0..]
-        return jnp.transpose(frames, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
-
-    metric_fn = PER_FRAME_METRICS[metric]
-    op_metric_fn = _resolve_op_metric(metric, op_metric)
-    if apply_fn is None:  # same override hook as make_multi_video_scorer
-        def apply_fn(vars_, rgb_input, op_input):
-            return generator.apply(vars_, rgb_input, op_input, False)
-
-    def score_windows(vars_, video_rgb_u8: jax.Array, video_op: jax.Array,
-                      idx: jax.Array):
-        # gather uint8 windows FIRST, then normalize only the (b,h,w,t*c)
-        # clip — normalizing the whole video would redo full-video work in
-        # every per-batch call
-        rgb_clip_u8 = stack_windows(video_rgb_u8, idx, clip_len_rgb)
-        rgb_clip = (rgb_clip_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-        op_clip = stack_windows(video_op, idx, clip_len_op)
-        rgb_input = rgb_clip[..., :-rgb_channels]
-        rgb_target = rgb_clip[..., -rgb_channels:]
-        op_input = op_clip[..., :-op_channels]
-        op_target = op_clip[..., -op_channels:]
-        rgb_pred, op_pred, diffs, _ = apply_fn(vars_, rgb_input, op_input)
-        rgb_diff, op_diff = diffs
-        if reproduce_op_psnr_bug:
-            op_score = op_psnr_reference_bug(op_pred, op_input)
-        else:
-            op_score = op_metric_fn(op_pred, op_target.astype(jnp.float32))
-        return (
-            metric_fn(rgb_pred, rgb_target),
-            jnp.broadcast_to(rgb_diff, rgb_pred.shape[:1]).astype(jnp.float32),
-            op_score,
-            jnp.broadcast_to(op_diff, op_pred.shape[:1]).astype(jnp.float32),
-        )
+    score_windows = _make_score_batch(
+        generator, clip_len_rgb, clip_len_op, rgb_channels, op_channels,
+        metric, op_metric, reproduce_op_psnr_bug, apply_fn)
 
     if mesh is None:
         jitted = jax.jit(score_windows)
@@ -159,36 +181,12 @@ def make_full_video_scorer(generator, variables,
     -> (4, n_windows_padded) f32`` (padded windows trimmed by the caller).
     """
 
-    def stack_windows(video: jax.Array, idx: jax.Array, t: int) -> jax.Array:
-        widx = idx[:, None] + jnp.arange(t)[None, :]
-        frames = video[widx]
-        b, _, h, w, c = frames.shape
-        return jnp.transpose(frames, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
-
-    metric_fn = PER_FRAME_METRICS[metric]
-    op_metric_fn = _resolve_op_metric(metric, op_metric)
-    if apply_fn is None:  # same override hook as make_multi_video_scorer
-        def apply_fn(vars_, rgb_input, op_input):
-            return generator.apply(vars_, rgb_input, op_input, False)
+    score_tuple = _make_score_batch(
+        generator, clip_len_rgb, clip_len_op, rgb_channels, op_channels,
+        metric, op_metric, reproduce_op_psnr_bug, apply_fn)
 
     def score_batch(vars_, video_rgb, video_op, idx):
-        rgb_clip = stack_windows(video_rgb, idx, clip_len_rgb)
-        op_clip = stack_windows(video_op, idx, clip_len_op)
-        rgb = (rgb_clip.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-        rgb_input, rgb_target = rgb[..., :-rgb_channels], rgb[..., -rgb_channels:]
-        op_input, op_target = op_clip[..., :-op_channels], op_clip[..., -op_channels:]
-        rgb_pred, op_pred, diffs, _ = apply_fn(vars_, rgb_input, op_input)
-        rgb_diff, op_diff = diffs
-        if reproduce_op_psnr_bug:
-            op_score = op_psnr_reference_bug(op_pred, op_input)
-        else:
-            op_score = op_metric_fn(op_pred, op_target.astype(jnp.float32))
-        return jnp.stack([
-            metric_fn(rgb_pred, rgb_target),
-            jnp.broadcast_to(rgb_diff, rgb_pred.shape[:1]).astype(jnp.float32),
-            op_score,
-            jnp.broadcast_to(op_diff, op_pred.shape[:1]).astype(jnp.float32),
-        ])
+        return jnp.stack(score_tuple(vars_, video_rgb, video_op, idx))
 
     @jax.jit
     def score_video(vars_, video_rgb_u8: jax.Array,
@@ -220,6 +218,9 @@ def make_multi_video_scorer(generator, variables,
                             clip_len_rgb: int = 5, clip_len_op: int = 4,
                             window_batch: int = 32,
                             rgb_channels: int = 3, op_channels: int = 2,
+                            metric: str = "psnr",
+                            op_metric: Optional[str] = None,
+                            reproduce_op_psnr_bug: bool = False,
                             apply_fn: Optional[Callable] = None
                             ) -> Callable:
     """Multi-video scorer: ONE jit call scores every sliding window of a
@@ -246,30 +247,12 @@ def make_multi_video_scorer(generator, variables,
     (``models.folded``), whose ``vars_`` is a (stream_vars, bridge_vars)
     pair; pass those as ``variables`` then.
     """
-    if apply_fn is None:
-        def apply_fn(vars_, rgb_input, op_input):
-            return generator.apply(vars_, rgb_input, op_input, False)
-
-    def stack_windows(video: jax.Array, idx: jax.Array, t: int) -> jax.Array:
-        widx = idx[:, None] + jnp.arange(t)[None, :]
-        frames = video[widx]
-        b, _, h, w, c = frames.shape
-        return jnp.transpose(frames, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
+    score_tuple = _make_score_batch(
+        generator, clip_len_rgb, clip_len_op, rgb_channels, op_channels,
+        metric, op_metric, reproduce_op_psnr_bug, apply_fn)
 
     def score_batch(vars_, video_rgb, video_op, idx):
-        rgb_clip = stack_windows(video_rgb, idx, clip_len_rgb)
-        op_clip = stack_windows(video_op, idx, clip_len_op)
-        rgb = (rgb_clip.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-        rgb_input, rgb_target = rgb[..., :-rgb_channels], rgb[..., -rgb_channels:]
-        op_input, op_target = op_clip[..., :-op_channels], op_clip[..., -op_channels:]
-        rgb_pred, op_pred, diffs, _ = apply_fn(vars_, rgb_input, op_input)
-        rgb_diff, op_diff = diffs
-        return jnp.stack([
-            psnr_per_frame(rgb_pred, rgb_target),
-            jnp.broadcast_to(rgb_diff, rgb_pred.shape[:1]).astype(jnp.float32),
-            psnr_per_frame(op_pred, op_target.astype(jnp.float32)),
-            jnp.broadcast_to(op_diff, op_pred.shape[:1]).astype(jnp.float32),
-        ])
+        return jnp.stack(score_tuple(vars_, video_rgb, video_op, idx))
 
     @jax.jit
     def score_chunk(vars_, rgbs, ops) -> jax.Array:
@@ -506,19 +489,23 @@ def _assemble_records(scores: np.ndarray, num_frame: int,
     return arr
 
 
-def _compiles_via_remote_service(variables) -> bool:
-    """True when programs for ``variables``' device compile through a remote
-    service (the experimental 'axon' TPU tunnel).  Probe order: env
-    override AMMCNET_REMOTE_COMPILE, the jax_default_device pin (decides
-    jit placement; read without initializing any backend), device-committed
-    leaves of ``variables``, and only as a last resort the default backend
-    (which does initialize it — the backend the scorer is about to use
-    anyway)."""
+def _compiles_via_remote_service(variables) -> Tuple[bool, str]:
+    """(verdict, what-was-sniffed) — True when programs for ``variables``'
+    device compile through a remote service (the experimental 'axon' TPU
+    tunnel).  Probe order: env override AMMCNET_REMOTE_COMPILE, the
+    jax_default_device pin (decides jit placement; read without initializing
+    any backend), device-committed leaves of ``variables``, and only as a
+    last resort the default backend (which does initialize it — the backend
+    the scorer is about to use anyway).  The source string is logged by
+    ``score_dataset`` so a mis-detection (scorer_mode=auto silently picking
+    the slower per-batch scorer on some future backend string) is diagnosable
+    from the run log."""
     import os
 
     env = os.environ.get("AMMCNET_REMOTE_COMPILE")
     if env is not None:
-        return env.strip().lower() not in ("", "0", "false", "no")
+        verdict = env.strip().lower() not in ("", "0", "false", "no")
+        return verdict, f"env AMMCNET_REMOTE_COMPILE={env!r}"
     # a jax_default_device pin decides placement for everything jit runs
     # (and is how CPU work is pinned in this environment, where
     # JAX_PLATFORMS=cpu is inert) — read it WITHOUT initializing any
@@ -529,26 +516,30 @@ def _compiles_via_remote_service(variables) -> bool:
         pinned = None
     if pinned is not None:
         if isinstance(pinned, str):  # platform name form of the pin
-            return "axon" in pinned
+            return "axon" in pinned, f"jax_default_device pin {pinned!r}"
         try:
-            return "axon" in pinned.client.platform_version
+            pv = pinned.client.platform_version
+            return "axon" in pv, f"jax_default_device pin ({pv!r})"
         except Exception:
-            return False
+            return False, f"jax_default_device pin {pinned!r} (no client)"
     for leaf in jax.tree_util.tree_leaves(variables):
         if isinstance(leaf, jax.Array):
             try:
                 dev = next(iter(leaf.devices()))
-                return "axon" in dev.client.platform_version
+                pv = dev.client.platform_version
+                return "axon" in pv, f"variables on {dev} ({pv!r})"
             except Exception:
-                return False
+                return False, "variables leaf device unreadable"
     # No pin and no device-committed leaf (checkpoint restores hand back
     # numpy arrays): probe the default backend the scorer is about to run
     # on anyway — jax.devices() initializes only that backend, not every
     # registered one (the trap the old xla_bridge.backends() probe had).
     try:
-        return "axon" in jax.devices()[0].client.platform_version
-    except Exception:
-        return False
+        dev = jax.devices()[0]
+        pv = dev.client.platform_version
+        return "axon" in pv, f"default backend {dev} ({pv!r})"
+    except Exception as e:
+        return False, f"default backend unavailable ({e!r})"
 
 
 def score_dataset(
@@ -603,8 +594,11 @@ def score_dataset(
         # no-pin-no-device-leaf last resort touches the default backend —
         # calling xla_bridge.backends() here would force-create the tunnel
         # client on every rank even for CPU-only evaluation).
-        scorer_mode = ("batch" if _compiles_via_remote_service(variables)
-                       else "video")
+        remote, sniffed = _compiles_via_remote_service(variables)
+        scorer_mode = "batch" if remote else "video"
+        if logger:
+            logger.info("scorer_mode auto -> %r (remote-compile probe: %s)",
+                        scorer_mode, sniffed)
     # window_batch is the per-dispatch performance knob, decoupled from
     # batch_size (the reference's DataLoader/record-granularity semantic,
     # still used by batch_commit): a whole bucket of windows per batch is

@@ -240,11 +240,18 @@ def main(argv=None) -> dict:
         pickle.dump(result, fh, pickle.HIGHEST_PROTOCOL)
     logger.info("records pickled to %s", pickle_path)
 
-    lam = FUSION_LAMBDAS.get(args.dataset_name, (0.01, 0.55))
+    # direct lookup (every CLI-accepted dataset has an explicit entry,
+    # toydata included) — an unknown name fails loudly instead of silently
+    # inheriting ped2's lambdas
+    lam = FUSION_LAMBDAS[args.dataset_name]
     if args.lam_fea_comm is not None:
         lam = (args.lam_fea_comm, lam[1])
     if args.lam_smooth is not None:
         lam = (lam[0], args.lam_smooth)
+    logger.info("fusion lambdas: lam_fea_comm=%g lam_smooth=%g (%s%s)",
+                lam[0], lam[1], args.dataset_name,
+                " preset" if args.lam_fea_comm is None
+                and args.lam_smooth is None else ", CLI override")
     lengths = [len(a) for a in result["rgb_img_pred_records"]]
     gt = GroundTruthLoader(args.data_dir)(args.dataset_name,
                                           video_lengths=lengths)
@@ -255,6 +262,7 @@ def main(argv=None) -> dict:
     print("=" * 80)
     print("the optimal loss_file is: ", pickle_path)
     print(f"the optimal {metric_name} = ", value)
+    print(f"fusion lambdas: lam_fea_comm={lam[0]:g} lam_smooth={lam[1]:g}")
     print(f"inference fps = {fps:.3f}")
     print("=" * 80)
     return {metric_name: value, "fps": fps, "pickle": pickle_path}

@@ -63,6 +63,15 @@ def parser_args(argv=None):
     p.add_argument("--async_checkpoints", action="store_true",
                    help="overlap checkpoint device_get+write with stepping "
                         "on a writer thread")
+    p.add_argument("--keep_ckpts", type=int, default=0,
+                   help="retention: keep only the newest N full-state "
+                        "checkpoints (0 = keep all, reference behavior; at "
+                        "released scale a full state is ~296 MB, so the "
+                        "default 80k cadence writes ~24 GB unpruned)")
+    p.add_argument("--keep_every", type=int, default=0,
+                   help="retention: additionally keep every checkpoint "
+                        "whose step is divisible by K (milestones survive "
+                        "--keep_ckpts pruning)")
     p.add_argument("--num_workers", type=int, default=8,
                    help="decode threads for the file-tree (normal) backend")
     p.add_argument("--cache_gb", type=float, default=2.0,
@@ -421,7 +430,9 @@ def main(argv=None):
                        step_summary=args.step_summary,
                        step_save=args.step_save,
                        fetch_every_periods=args.fetch_every_periods,
-                       async_checkpoints=args.async_checkpoints)
+                       async_checkpoints=args.async_checkpoints,
+                       keep_ckpts=args.keep_ckpts or None,
+                       keep_every=args.keep_every or None)
     logger.info("training done at step %d", int(state.step))
     return run_dir
 

@@ -39,6 +39,41 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def prune_checkpoints(ckpt_dir: str, keep_last: Optional[int] = None,
+                      keep_every: Optional[int] = None) -> list:
+    """Retention policy for full-state checkpoints.
+
+    The reference's cadence (every 1000 steps, ``const_params.py:32``) with
+    THIS framework's full state (G/D params + both Adam states + EMA
+    codebooks, ~296 MB at released scale vs the reference's weights-only
+    ~3 MB) writes ~24 GB per 80k run — so faithful cadence needs a retention
+    knob the reference never did.  Keeps the union of: the newest
+    ``keep_last`` steps, every step divisible by ``keep_every``, and always
+    the latest (resume safety).  ``None`` disables that criterion; both
+    ``None`` keeps everything (reference behavior).  Returns deleted steps.
+    """
+    if keep_last is None and keep_every is None:
+        return []
+    if not os.path.isdir(ckpt_dir):
+        return []
+    steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    if not steps:
+        return []
+    keep = {steps[-1]}
+    if keep_last:
+        keep.update(steps[-keep_last:])
+    if keep_every:
+        keep.update(s for s in steps if s % keep_every == 0)
+    import shutil
+
+    deleted = []
+    for s in steps:
+        if s not in keep:
+            shutil.rmtree(os.path.join(ckpt_dir, f"{s:06d}"))
+            deleted.append(s)
+    return deleted
+
+
 def restore_checkpoint(ckpt_dir: str, target: Any = None,
                        step: Optional[int] = None) -> Any:
     """Restore the given (or latest) step.

@@ -26,7 +26,7 @@ import jax
 import numpy as np
 
 from ..configs import STEP_LOG, STEP_SAVE_CKPT, STEP_SUMMARY
-from .checkpoint import save_checkpoint
+from .checkpoint import prune_checkpoints, save_checkpoint
 
 
 class ScalarWriter:
@@ -161,6 +161,8 @@ def train_loop(
     step_save: int = STEP_SAVE_CKPT,
     fetch_every_periods: int = 1,
     async_checkpoints: bool = False,
+    keep_ckpts: Optional[int] = None,
+    keep_every: Optional[int] = None,
 ):
     """Generic loop used by both stages.  ``psnr_fn(state, batch)`` computes
     the train-PSNR the reference logs every step_log (train_helper.py:347-386).
@@ -179,8 +181,21 @@ def train_loop(
     are immutable, so the step-N state snapshot stays consistent while the
     loop keeps stepping; queue depth 1 gives backpressure if saves fall a
     full cadence behind.  A kill mid-save leaves only an orbax tmp dir,
-    which ``latest_step``'s digits-only filter ignores on resume."""
+    which ``latest_step``'s digits-only filter ignores on resume.
+
+    ``keep_ckpts``/``keep_every``: retention policy applied after every save
+    (:func:`~.checkpoint.prune_checkpoints`) — the newest ``keep_ckpts``
+    steps plus every ``keep_every``-divisible step survive; both ``None``
+    keeps everything (the reference never pruned, but its checkpoints were
+    ~100x smaller — weights only)."""
     import jax.numpy as jnp
+
+    def _save_and_prune(sstep, pytree):
+        save_checkpoint(ckpt_dir, sstep, pytree)
+        deleted = prune_checkpoints(ckpt_dir, keep_ckpts, keep_every)
+        if logger:
+            logger.info("checkpoint saved at step %d%s", sstep,
+                        f" (pruned {len(deleted)})" if deleted else "")
 
     writer = ScalarWriter(os.path.join(run_dir, "summary"))
     ckpt_dir = os.path.join(run_dir, "training", "checkpoints")
@@ -241,10 +256,7 @@ def train_loop(
                 if item is None:
                     return
                 sstep, sstate = item
-                save_checkpoint(ckpt_dir, sstep,
-                                fetch_state(_state_to_pytree(sstate)))
-                if logger:
-                    logger.info("checkpoint saved at step %d", sstep)
+                _save_and_prune(sstep, fetch_state(_state_to_pytree(sstate)))
 
         saver_thread = threading.Thread(target=saver, daemon=True)
         saver_thread.start()
@@ -279,10 +291,7 @@ def train_loop(
             if save_q is not None:
                 save_q.put((step, state))  # blocks only if a save is behind
             else:
-                save_checkpoint(ckpt_dir, step,
-                                fetch_state(_state_to_pytree(state)))
-                if logger:
-                    logger.info("checkpoint saved at step %d", step)
+                _save_and_prune(step, fetch_state(_state_to_pytree(state)))
         t_data0 = time.time()
         if step >= iterations:
             break

@@ -70,8 +70,13 @@ import time
 import numpy as np
 
 BASELINE_FPS = 17.597  # reference ped2 inference fps (BASELINE.md)
-NUM_VIDEOS = 12
-FRAMES_PER_VIDEO = 180
+# Workload shape, env-overridable for the OTHER deployment shapes the
+# reference walks through the same loop (test_helper.py:409-417): the
+# default is ped2-shaped (12 x 180 grayscale); the avenue/color shape is
+# BENCH_GRAY=0 BENCH_VIDEOS=6 BENCH_FRAMES=960 BENCH_CHUNK=3 (6 long
+# 3-channel videos -> the 960-frame bucket program).
+NUM_VIDEOS = int(os.environ.get("BENCH_VIDEOS", "12"))
+FRAMES_PER_VIDEO = int(os.environ.get("BENCH_FRAMES", "180"))
 SIZE = 256
 # overridable: larger batches cut per-window overhead — device-resident
 # sweep (tools/device_bench.py, fetch-barriered): 584 windows/s at 64,
@@ -316,7 +321,8 @@ def main() -> None:
         upload_video)
     from ammcnet_aaai2021_tpu.models import build_generator
 
-    heartbeat("synthesizing ped2-shaped data (12 videos x 180 frames)")
+    heartbeat(f"synthesizing data ({NUM_VIDEOS} videos x {FRAMES_PER_VIDEO} "
+              f"frames, {'gray' if GRAY else '3-channel'})")
     videos = synth_ped2_shaped(seed=0)
 
     heartbeat("init model (one jitted program)")

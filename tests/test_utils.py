@@ -79,6 +79,30 @@ class TestCheckpointRoundtrip:
         np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
                                       np.arange(6.0).reshape(2, 3))
 
+    def test_prune_retention_policy(self, tmp_path):
+        """prune_checkpoints keeps newest-N union every-K union latest
+        (VERDICT r3: the 80k run wrote 80 x 296 MB without a knob)."""
+        import jax.numpy as jnp
+
+        from ammcnet_aaai2021_tpu.train.checkpoint import (
+            latest_step, prune_checkpoints, save_checkpoint)
+
+        state = {"w": jnp.zeros((2,))}
+        for s in (1000, 2000, 3000, 4000, 5000):
+            save_checkpoint(str(tmp_path), s, state)
+        # no policy -> no-op
+        assert prune_checkpoints(str(tmp_path)) == []
+        deleted = prune_checkpoints(str(tmp_path), keep_last=2,
+                                    keep_every=2000)
+        assert deleted == [1000, 3000]
+        kept = sorted(int(d) for d in os.listdir(tmp_path) if d.isdigit())
+        assert kept == [2000, 4000, 5000]
+        assert latest_step(str(tmp_path)) == 5000
+        # keep_last alone always preserves the newest
+        deleted = prune_checkpoints(str(tmp_path), keep_last=1)
+        assert deleted == [2000, 4000]
+        assert latest_step(str(tmp_path)) == 5000
+
     def test_msgpack_roundtrip(self, tmp_path):
         import jax.numpy as jnp
 
