@@ -75,6 +75,13 @@ def _flops_of(fn, *args) -> float:
     cost = lowered.cost_analysis()
     if isinstance(cost, (list, tuple)):  # older jax returns [dict]
         cost = cost[0]
+    if cost is None:
+        # Remote PJRT clients (the axon tunnel) don't expose HLO cost
+        # analysis; the caller must pin lowering to the CPU client (FLOPs
+        # are platform-independent).
+        raise RuntimeError(
+            "cost_analysis unavailable on this backend — run the census "
+            "under jax.default_device(jax.devices('cpu')[0])")
     return float(cost["flops"])
 
 
@@ -157,13 +164,18 @@ def main(argv=None):
                         "already-measured step time")
     args = p.parse_args(argv)
 
-    if not args.measure:
-        import jax
+    import jax
 
+    if not args.measure:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
-
-    c = census(args.size, args.batch)
+        c = census(args.size, args.batch)
+    else:
+        # Census on the CPU client even when the chip is the target: the
+        # axon remote PJRT client returns None from cost_analysis(), and
+        # lowering/inits must not ride the tunnel just to count FLOPs.
+        with jax.default_device(jax.devices("cpu")[0]):
+            c = census(args.size, args.batch)
     print(f"== FLOP census (XLA cost analysis, {args.size}x{args.size} "
           f"batch {args.batch}) ==")
     for k, v in c.items():
