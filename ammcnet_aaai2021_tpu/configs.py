@@ -130,6 +130,12 @@ class OptimConfig:
     # Freeze the pretrained rgb/op branches during stage-2 bridge training
     # (reference fixed_rgb_op_branch, vqvae.py:634-643).
     fix_branches: bool = False
+    # Pin the memory codebook to its grafted stage-1 state during stage-2
+    # (skip the EMA update; encoder/decoder keep training).  Preserves the
+    # memory channel's anomaly signal, which joint EMA training erodes
+    # (PERF.md round 4).  Extension — the reference always updates its EMA
+    # buffers (unet.py:330-338).
+    freeze_codebook: bool = False
 
 
 @dataclass(frozen=True)

@@ -47,6 +47,11 @@ def parser_args(argv=None):
     p.add_argument("--flownet_ckpt", default="",
                    help="FlowNet2-SD torch .pth (random init + warning if "
                         "absent; the flow loss is observational either way)")
+    p.add_argument("--freeze_codebook", action="store_true",
+                   help="pin the memory codebook to its (grafted) state: "
+                        "skip the EMA update while encoder/decoder train. "
+                        "Preserves the memory channel's anomaly signal, "
+                        "which joint EMA training erodes (PERF.md round 4)")
     p.add_argument("--fix_branches", action="store_true",
                    help="freeze rgb/op branches, train bridge only")
     p.add_argument("--save_dir", default="runs")
@@ -183,7 +188,8 @@ def main(argv=None):
     optim = OptimConfig(lr_g=args.lr_g, lr_d=args.lr_d,
                         iterations=args.iterations,
                         batch_size=args.batch_size,
-                        fix_branches=args.fix_branches)
+                        fix_branches=args.fix_branches,
+                        freeze_codebook=args.freeze_codebook)
     cfg = ExperimentConfig(net=net, data=data, loss=loss_cfg, optim=optim,
                            exp_tag=args.exp_tag or
                            f"{args.net_tag}-{args.dataset_name}-{args.data_type}",
@@ -248,7 +254,8 @@ def main(argv=None):
             logger.info("grafted stage-1 branches from %s / %s",
                         args.rgb_model_path, args.op_model_path)
         step_fn = jax.jit(make_twostream_train_step(
-            gen, disc, flownet, loss_cfg, g_tx, d_tx))
+            gen, disc, flownet, loss_cfg, g_tx, d_tx,
+            freeze_codebook=args.freeze_codebook))
 
         if args.backend == "device":
             # whole split resident in HBM; batches gather on-device
@@ -358,7 +365,8 @@ def main(argv=None):
             d_input_channels=c)
         step_fn = jax.jit(make_single_stream_train_step(
             gen, disc, flownet, loss_cfg, g_tx, d_tx,
-            data_type=args.data_type))
+            data_type=args.data_type,
+            freeze_codebook=args.freeze_codebook))
         from ..data.datasets import FrameCache
 
         root = data.rgb_root if args.data_type == "rgb" else data.op_root

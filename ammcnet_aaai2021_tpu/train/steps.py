@@ -75,6 +75,7 @@ def make_twostream_train_step(
     rgb_channels: int = 3,
     op_channels: int = 2,
     remat: bool = False,
+    freeze_codebook: bool = False,
 ) -> Callable:
     """Stage-2 step: joint two-stream training with the twostream(_vq) loss.
 
@@ -82,6 +83,17 @@ def make_twostream_train_step(
     (jax.checkpoint): trades ~1 extra forward of FLOPs for not holding the
     UNet activations of both streams in HBM — enables much larger per-chip
     batches at 256x256.
+
+    ``freeze_codebook=True`` discards the EMA codebook update each step, so
+    the memory stays pinned to the grafted stage-1 codebook while encoder/
+    decoder keep training (the commit gradient still pulls encoder features
+    toward the frozen codes).  Rationale measured in PERF.md round 4: the
+    joint-training EMA re-centers code vectors onto whatever the encoder
+    emits, which erodes the memory channel's anomaly signal (fea-only AUC
+    0.73 at 200 steps -> 0.20 at 2000 on appearance toydata); a deployment
+    that wants the channel freezes the codebook after stage-1.  The
+    reference has no such control (its EMA buffers always update,
+    ``unet.py:330-338``) — opt-in extension, not a parity deviation.
     """
     g_loss_fn = LOSS_TAGS[loss_cfg.loss_tag]
 
@@ -116,6 +128,9 @@ def make_twostream_train_step(
 
         (g_l, (new_g_state, rgb_pred, comps)), g_grads = jax.value_and_grad(
             g_loss, has_aux=True)(state.g_params)
+        if freeze_codebook and "codebook" in new_g_state:
+            new_g_state = dict(new_g_state)
+            new_g_state["codebook"] = state.g_state["codebook"]
 
         def d_loss(d_params):
             d_real = discriminator.apply({"params": d_params}, rgb_target)
@@ -151,10 +166,14 @@ def make_single_stream_train_step(
     d_tx: optax.GradientTransformation,
     data_type: str = "rgb",
     channels: Optional[int] = None,
+    freeze_codebook: bool = False,
 ) -> Callable:
     """Stage-1 step (reference inference_v1..v4 closures, train_helper.py:
     1408-1827): one modality; the rgb recipes use FlowNet + GDL, the op
-    recipes only intensity + adversarial (+ commit for the _vq tags)."""
+    recipes only intensity + adversarial (+ commit for the _vq tags).
+    ``freeze_codebook`` as in :func:`make_twostream_train_step` (meaningful
+    when finetuning FROM a checkpoint; a frozen random-init codebook is a
+    fixed random projection)."""
     g_loss_fn = LOSS_TAGS[loss_cfg.loss_tag]
     c = channels if channels is not None else (3 if data_type == "rgb" else 2)
     uses_flow = "flow" in loss_cfg.loss_tag
@@ -184,6 +203,9 @@ def make_single_stream_train_step(
 
         (g_l, (new_g_state, pred, comps)), g_grads = jax.value_and_grad(
             g_loss, has_aux=True)(state.g_params)
+        if freeze_codebook and "codebook" in new_g_state:
+            new_g_state = dict(new_g_state)
+            new_g_state["codebook"] = state.g_state["codebook"]
 
         def d_loss(d_params):
             d_real = discriminator.apply({"params": d_params}, x_target)

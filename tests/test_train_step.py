@@ -141,6 +141,40 @@ class TestTwoStreamStep:
         np.testing.assert_allclose(np.asarray(grads[0]), np.asarray(grads[1]),
                                    atol=1e-7)
 
+    def test_freeze_codebook_pins_ema_state(self, twostream_setup):
+        """freeze_codebook=True: codebook bit-identical after N steps while
+        params/batch_stats keep training; False: EMA moves (the control is
+        test_params_and_state_update).  Gradients must be unchanged by the
+        flag on the FIRST step (the freeze only gates the state carry)."""
+        state, _, batch, flow_vars = twostream_setup
+        cfg = small_net()
+        gen = build_generator(cfg)
+        disc = PixelDiscriminator(dtype=jnp.float32)
+        flownet = FlowNet2SD(dtype=jnp.float32)
+        loss_cfg = LossConfig(loss_tag="twostream_vq")
+        g_tx, d_tx = make_optimizers(OptimConfig())
+        step_fn = jax.jit(make_twostream_train_step(
+            gen, disc, flownet, loss_cfg, g_tx, d_tx, freeze_codebook=True))
+
+        s = state
+        for _ in range(3):
+            s, _ = step_fn(s, batch, flow_vars)
+        for old, new in zip(jax.tree.leaves(state.g_state["codebook"]),
+                            jax.tree.leaves(s.g_state["codebook"])):
+            np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+        # encoder/decoder still train
+        assert not np.allclose(np.asarray(jax.tree.leaves(state.g_params)[0]),
+                               np.asarray(jax.tree.leaves(s.g_params)[0]))
+        # first-step params identical to the unfrozen step: the flag gates
+        # only the codebook carry, never the loss/grads of the current step
+        plain_fn = jax.jit(make_twostream_train_step(
+            gen, disc, flownet, loss_cfg, g_tx, d_tx, freeze_codebook=False))
+        frozen1, _ = step_fn(state, batch, flow_vars)
+        plain1, _ = plain_fn(state, batch, flow_vars)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(frozen1.g_params)[0]),
+            np.asarray(jax.tree.leaves(plain1.g_params)[0]), atol=1e-7)
+
 
 class TestSingleStreamStep:
     @pytest.mark.parametrize("tag,loss_tag,ch", [
