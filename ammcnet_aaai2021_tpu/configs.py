@@ -131,9 +131,11 @@ class OptimConfig:
     # (reference fixed_rgb_op_branch, vqvae.py:634-643).
     fix_branches: bool = False
     # Pin the memory codebook to its grafted stage-1 state during stage-2
-    # (skip the EMA update; encoder/decoder keep training).  Preserves the
-    # memory channel's anomaly signal, which joint EMA training erodes
-    # (PERF.md round 4).  Extension — the reference always updates its EMA
+    # (skip the EMA update; encoder/decoder keep training).  NOTE (PERF.md
+    # round 4 2x2 ablation): alone this does NOT preserve the memory
+    # channel's anomaly signal — the commit gradient adapts the encoder
+    # onto the frozen codes; combine with fix_branches for a fully static
+    # memory path.  Extension — the reference always updates its EMA
     # buffers (unet.py:330-338).
     freeze_codebook: bool = False
 

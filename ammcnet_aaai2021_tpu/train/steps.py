@@ -87,13 +87,16 @@ def make_twostream_train_step(
     ``freeze_codebook=True`` discards the EMA codebook update each step, so
     the memory stays pinned to the grafted stage-1 codebook while encoder/
     decoder keep training (the commit gradient still pulls encoder features
-    toward the frozen codes).  Rationale measured in PERF.md round 4: the
-    joint-training EMA re-centers code vectors onto whatever the encoder
-    emits, which erodes the memory channel's anomaly signal (fea-only AUC
-    0.73 at 200 steps -> 0.20 at 2000 on appearance toydata); a deployment
-    that wants the channel freezes the codebook after stage-1.  The
-    reference has no such control (its EMA buffers always update,
-    ``unet.py:330-338``) — opt-in extension, not a parity deviation.
+    toward the frozen codes).  Measured outcome (PERF.md round 4 2x2
+    ablation on appearance toydata): this flag ALONE does NOT preserve the
+    memory channel's anomaly signal — precisely because the commit gradient
+    keeps adapting the encoder onto the frozen codes, fea-only AUC collapses
+    0.70 -> 0.36 -> 0.25 over 200/400/2000 steps, statistically the same
+    decay as with a live EMA.  Preserving the channel requires freezing the
+    encoder too (``fix_branches``); the two flags compose into a fully
+    static memory path.  The reference has no EMA control (its buffers
+    always update, ``unet.py:330-338``) — opt-in extension, not a parity
+    deviation.
     """
     g_loss_fn = LOSS_TAGS[loss_cfg.loss_tag]
 

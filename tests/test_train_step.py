@@ -176,6 +176,44 @@ class TestTwoStreamStep:
             np.asarray(jax.tree.leaves(plain1.g_params)[0]), atol=1e-7)
 
 
+    def test_fix_branches_plus_freeze_codebook_static_memory_path(
+            self, twostream_setup):
+        """The fully-static arm of the PERF.md round-4 2x2 ablation:
+        fix_branches (bridge-only optax mask, as run_train builds it) +
+        freeze_codebook => branch params AND codebook EMA bit-invariant
+        across steps while the bridge keeps training.  (Branch BN running
+        stats still update — they are state, not params, as in the
+        reference's fixed_rgb_op_branch mode, vqvae.py:634-643.)"""
+        import dataclasses
+        state, _, batch, flow_vars = twostream_setup
+        cfg = small_net()
+        gen = build_generator(cfg)
+        disc = PixelDiscriminator(dtype=jnp.float32)
+        flownet = FlowNet2SD(dtype=jnp.float32)
+        loss_cfg = LossConfig(loss_tag="twostream_vq")
+        mask = {k: k == "bridge" for k in state.g_params}
+        g_tx, d_tx = make_optimizers(OptimConfig(lr_g=1e-3, lr_d=1e-4),
+                                     g_mask=mask)
+        state = dataclasses.replace(state,
+                                    g_opt_state=g_tx.init(state.g_params))
+        step_fn = jax.jit(make_twostream_train_step(
+            gen, disc, flownet, loss_cfg, g_tx, d_tx, freeze_codebook=True))
+        s = state
+        for _ in range(3):
+            s, _ = step_fn(s, batch, flow_vars)
+        for key in ("rgb", "op"):
+            for old, new in zip(jax.tree.leaves(state.g_params[key]),
+                                jax.tree.leaves(s.g_params[key])):
+                np.testing.assert_array_equal(np.asarray(old),
+                                              np.asarray(new))
+        for old, new in zip(jax.tree.leaves(state.g_state["codebook"]),
+                            jax.tree.leaves(s.g_state["codebook"])):
+            np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+        old_b = jax.tree.leaves(state.g_params["bridge"])[0]
+        new_b = jax.tree.leaves(s.g_params["bridge"])[0]
+        assert not np.allclose(np.asarray(old_b), np.asarray(new_b))
+
+
 class TestSingleStreamStep:
     @pytest.mark.parametrize("tag,loss_tag,ch", [
         ("unet_vq_topk_res", "rgb_int_gdl_flow_adv_vq", 3),
