@@ -134,9 +134,11 @@ class OptimConfig:
     # (skip the EMA update; encoder/decoder keep training).  NOTE (PERF.md
     # round 4 2x2 ablation): alone this does NOT preserve the memory
     # channel's anomaly signal — the commit gradient adapts the encoder
-    # onto the frozen codes; combine with fix_branches for a fully static
-    # memory path.  Extension — the reference always updates its EMA
-    # buffers (unet.py:330-338).
+    # onto the frozen codes; combine with fix_branches to pin the memory
+    # path (up to BatchNorm running stats, which stay live exactly as in
+    # the reference's requires_grad-only freeze; measured a wash vs
+    # fix_branches alone, PERF.md session-2 rerun).  Extension — the
+    # reference always updates its EMA buffers (unet.py:330-338).
     freeze_codebook: bool = False
 
 

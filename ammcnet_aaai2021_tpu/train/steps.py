@@ -93,8 +93,12 @@ def make_twostream_train_step(
     keeps adapting the encoder onto the frozen codes, fea-only AUC collapses
     0.70 -> 0.36 -> 0.25 over 200/400/2000 steps, statistically the same
     decay as with a live EMA.  Preserving the channel requires freezing the
-    encoder too (``fix_branches``); the two flags compose into a fully
-    static memory path.  The reference has no EMA control (its buffers
+    encoder too (``fix_branches``); the two flags together pin the memory
+    path up to BatchNorm running stats, which stay live here exactly as in
+    the reference's ``requires_grad``-only freeze (``vqvae.py:634-643``) —
+    measured fea-record drift ~1e-4 across a 2000-step finetune, and a
+    wash (<=0.009 AUC) vs ``fix_branches`` alone (PERF.md session-2
+    rerun).  The reference has no EMA control (its buffers
     always update, ``unet.py:330-338``) — opt-in extension, not a parity
     deviation.
     """
