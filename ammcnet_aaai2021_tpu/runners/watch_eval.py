@@ -82,7 +82,9 @@ def main(argv=None):
                             "testing", "frames")
     op_root = os.path.join(args.data_dir, args.dataset_name,
                            "testing", "flows")
-    lam = FUSION_LAMBDAS.get(args.dataset_name, (0.01, 0.55))
+    # direct lookup, same policy as run_test.py:246 — an unknown dataset
+    # fails loudly instead of silently inheriting ped2's lambdas
+    lam = FUSION_LAMBDAS[args.dataset_name]
     best = (None, -1.0)
 
     while True:

@@ -72,13 +72,20 @@ def run_sweep(
     loader = GroundTruthLoader(data_dir)
     for label, path in items:
         records = load_result_pickle(path)
-        lengths = [len(a) for a in records["rgb_img_pred_records"]]
-        gt = loader(records["dataset"], video_lengths=lengths)
         ls = lam_smooth
         if ls is None:
             from ..configs import FUSION_LAMBDAS
 
-            ls = FUSION_LAMBDAS.get(records["dataset"], (0.01, 0.55))[1]
+            # same loud policy as run_test.py:246 — an unknown dataset must
+            # not silently inherit ped2's smoothing weight
+            if records["dataset"] not in FUSION_LAMBDAS:
+                raise KeyError(
+                    f"no FUSION_LAMBDAS preset for dataset "
+                    f"{records['dataset']!r} ({label}); pass --lam_smooth "
+                    f"explicitly")
+            ls = FUSION_LAMBDAS[records["dataset"]][1]
+        lengths = [len(a) for a in records["rgb_img_pred_records"]]
+        gt = loader(records["dataset"], video_lengths=lengths)
         rows = sweep_pickle(records, gt, lams, ls)
         aucs = dict(rows)
         best_lam, best_auc = max(rows, key=lambda r: r[1])
