@@ -7,8 +7,12 @@ analogue).  Two units of sharding exist in this workload:
 
 * training: each host draws independent clip samples (different sampler
   seeds) — data parallelism needs no coordination beyond distinct streams;
+  the cross-process composition (per-host shards -> :func:`make_global_batch`
+  -> GSPMD train step with gloo collectives inside) is executed for real by
+  ``tests/test_multihost_train.py`` (2 processes, losses == single-process);
 * evaluation: sub-videos are dealt round-robin across hosts; each host
-  scores its videos and rank 0 concatenates records in global order.
+  scores its videos and rank 0 concatenates records in global order
+  (``tests/test_multihost_eval.py``).
 
 Everything degrades to identity in single-process runs.
 """

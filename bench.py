@@ -127,6 +127,11 @@ TOTAL_WALL_BUDGET = float(os.environ.get("BENCH_TOTAL_WALL_BUDGET", "480"))
 # (real partial rate, or 0.0 for a fully unresponsive tunnel) and exits 0;
 # budget + grace must stay under the driver's timeout
 ZERO_GRACE = float(os.environ.get("BENCH_ZERO_GRACE", "60"))
+# when the one-time warm execute overruns its deadline (a degraded-hour
+# program load, not a throughput cost), up to this many seconds of the
+# overrun are credited back to the pass phase so the reported median rests
+# on more steady-state samples (VERDICT r4 weak-4 / item 8)
+WARM_CREDIT = float(os.environ.get("BENCH_WARM_CREDIT", "60"))
 
 _T0 = time.perf_counter()
 
@@ -256,10 +261,11 @@ def synth_ped2_shaped(seed: int = 0):
     return [(jpegs, flows)] * NUM_VIDEOS
 
 
-def _wait_with_deadline(fn, deadline_s: float, label: str):
-    """Run fn() on a daemon thread, return its result or None after
-    deadline_s.  A blocked remote compile cannot be cancelled from Python;
-    the daemon thread lets the process move on (and exit) without it."""
+def _start_task(fn, label: str):
+    """Run fn() on a daemon thread; returns (done_event, box).  A blocked
+    remote compile/execute cannot be cancelled from Python; the daemon
+    thread lets the process move on (and exit) without it, while the event
+    lets a caller keep re-waiting on the SAME in-flight work."""
     box = {}
     done = threading.Event()
 
@@ -270,8 +276,14 @@ def _wait_with_deadline(fn, deadline_s: float, label: str):
             box["error"] = e
         done.set()
 
-    t = threading.Thread(target=run, daemon=True, name=label)
-    t.start()
+    threading.Thread(target=run, daemon=True, name=label).start()
+    return done, box
+
+
+def _wait_with_deadline(fn, deadline_s: float, label: str):
+    """Run fn() on a daemon thread, return its result or None after
+    deadline_s."""
+    done, box = _start_task(fn, label)
     done.wait(timeout=deadline_s)
     if "error" in box:
         raise box["error"]
@@ -560,12 +572,31 @@ def main() -> None:
         TOTAL_WALL_BUDGET - (time.perf_counter() - _T0) - 150.0))
     heartbeat("warm execute (one-time device program load + weight-upload "
               f"barrier; deadline {warm_deadline:.0f}s)")
-    if _wait_with_deadline(warm_execute, warm_deadline,
-                           "warm-execute") is None:
-        heartbeat("warm execute still in flight; pass 1 will absorb the "
-                  "program load")
+    warm_done, warm_box = _start_task(warm_execute, "warm-execute")
+    warm_overrun = 0.0
+    if not warm_done.wait(timeout=warm_deadline):
+        # BENCH_r04: the one-time load ran ~450 s at a degraded hour, pass 1
+        # absorbed it (8.93 fps) and only 3 steady passes fit the budget.
+        # Keep absorbing the load HERE instead — as long as >=90 s of pass
+        # budget remains — so every timed pass is a steady-state sample,
+        # and credit back up to BENCH_WARM_CREDIT seconds of the overrun to
+        # the pass phase (the load is a one-time cost, not throughput).
+        heartbeat("warm execute over deadline; keep absorbing the load so "
+                  "pass 1 starts clean")
+        while not warm_done.wait(timeout=10.0):
+            remaining = TOTAL_WALL_BUDGET - (time.perf_counter() - _T0)
+            if remaining <= 90.0:
+                heartbeat("load still in flight with <=90s budget left; "
+                          "pass 1 will absorb it")
+                break
+        warm_overrun = time.perf_counter() - t_warm - warm_deadline
+        if warm_done.is_set():
+            heartbeat(f"load absorbed {warm_overrun:.1f}s past the "
+                      "deadline; passes start clean")
     else:
         heartbeat(f"warm execute done ({time.perf_counter() - t_warm:.1f}s)")
+    if "error" in warm_box:
+        raise warm_box["error"]
     heartbeat(f"warm-up done (mode={mode}, otf={otf}); "
               f"timing {N_PASSES} passes")
 
@@ -669,6 +700,16 @@ def main() -> None:
     # scored, emits the JSON from the live progress snapshot and exits the
     # process — a degraded tunnel degrades the number, never the output.
     pass_budget = max(60.0, TOTAL_WALL_BUDGET - (time.perf_counter() - _T0))
+    if warm_overrun > 0:
+        # the one-time program load overran into the pass phase: credit a
+        # bounded slice of it back so the median rests on more steady
+        # samples (BENCH_r04 rested on 3).  Worst-case process lifetime is
+        # TOTAL_WALL_BUDGET + WARM_CREDIT + ZERO_GRACE = 600 s at defaults —
+        # still far under the driver's observed tolerance.
+        credit = min(warm_overrun, WARM_CREDIT)
+        pass_budget += credit
+        heartbeat(f"warm overran {warm_overrun:.1f}s; crediting "
+                  f"{credit:.0f}s back to the pass budget")
     cancelled = threading.Event()  # set when main emits/raises: exactly ONE
     # JSON line ever prints, even on the transient-retry path
 
