@@ -48,6 +48,10 @@ def main():
     p.add_argument("--seed", type=int, default=20200525)
     p.add_argument("--skip_train", action="store_true",
                    help="re-run only the eval/sweep over existing ckpts")
+    p.add_argument("--joint", action="store_true",
+                   help="run the JOINT stage-2 control (no --fix_branches) "
+                        "at the same released cadence, reusing the same "
+                        "world + stage-1 branches")
     args = p.parse_args()
 
     root = args.root
@@ -70,8 +74,27 @@ def main():
     def ckpt(run_dir, step):
         return os.path.join(run_dir, "training", "checkpoints", f"{step:06d}")
 
-    marker = os.path.join(root, "runs.json")
-    if args.skip_train or os.path.exists(marker):
+    suffix = "-joint" if args.joint else ""
+    marker = os.path.join(root, f"runs{suffix}.json")
+    base_marker = os.path.join(root, "runs.json")
+    if args.joint and os.path.exists(base_marker) \
+            and not os.path.exists(marker):
+        # reuse the frozen run's stage-1 branches: the control differs in
+        # stage-2 ONLY
+        base = json.load(open(base_marker))
+        log(f"joint control: reusing stage-1 branches from {base}")
+        s2_run = run_train(common + [
+            "--net_tag", "unet_vq_twostream", "--loss_tag", "twostream_vq",
+            "--data_type", "rgb_op", "--iterations", str(args.steps),
+            "--step_save", str(args.step_save),
+            "--fetch_every_periods", "10", "--async_checkpoints",
+            "--pretrain",
+            "--rgb_model_path", ckpt(base["rgb"], args.stage1_iters),
+            "--op_model_path", ckpt(base["op"], args.stage1_iters),
+            "--exp_tag", "r5-s2-joint"])
+        runs = {"rgb": base["rgb"], "op": base["op"], "s2": s2_run}
+        json.dump(runs, open(marker, "w"))
+    elif args.skip_train or os.path.exists(marker):
         runs = json.load(open(marker))
         log(f"reusing training runs: {runs}")
     else:
@@ -104,7 +127,7 @@ def main():
 
     items = []
     for step in steps:
-        save_dir = os.path.join(root, f"eval-step-{step:06d}")
+        save_dir = os.path.join(root, f"eval{suffix}-step-{step:06d}")
         pkl = os.path.join(save_dir, "img_pred_fea_comm_rgb_auc",
                            "save_pickle", "toydata")
         if not os.path.exists(pkl):
@@ -125,7 +148,7 @@ def main():
         log(f"{label}: psnr-only {r['psnr_only']:.4f}  "
             f"fea-only {r['fea_only']:.4f}  "
             f"best {r['best'][1]:.4f} @ l1={r['best'][0]:g}")
-    out = os.path.join(root, "trajectory.json")
+    out = os.path.join(root, f"trajectory{suffix}.json")
     json.dump(rows, open(out, "w"), indent=1)
     log(f"wrote {out}")
 
