@@ -30,6 +30,11 @@ def parser_args(argv=None):
                    help="evaluate pending checkpoints once and exit")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--sweep", action="store_true",
+                   help="also lam-sweep each checkpoint's records and "
+                        "record psnr_only/fea_only/best columns — the live "
+                        "memory-channel trajectory (PERF.md round 5) "
+                        "without post-hoc lam_sweep runs")
     return p.parse_args(argv)
 
 
@@ -68,13 +73,16 @@ def main(argv=None):
     logger = get_logger("watch_eval", os.path.join(args.run_dir, "log_dir"))
     ckpt_dir = os.path.join(args.run_dir, "training", "checkpoints")
     results_path = os.path.join(args.run_dir, "watch_results.csv")
+    header = ["step", "auc", "fps"] + (
+        ["psnr_only", "fea_only", "best_lam", "best_auc"]
+        if args.sweep else [])
     seen = set()
     if os.path.exists(results_path):
         with open(results_path) as fh:
             seen = {int(row["step"]) for row in csv.DictReader(fh)}
     else:
         with open(results_path, "w", newline="") as fh:
-            csv.writer(fh).writerow(["step", "auc", "fps"])
+            csv.writer(fh).writerow(header)
 
     gen = build_generator(cfg.net, per_sample_diff=True)
     size = cfg.data.image_size
@@ -112,8 +120,20 @@ def main(argv=None):
             gt = GroundTruthLoader(args.data_dir)(
                 args.dataset_name, video_lengths=lengths)
             auc = img_pred_fea_comm_auc(result, gt, lam)
+            row = [step, round(auc, 4), round(fps, 2)]
+            if args.sweep:
+                from ..tools.lam_sweep import DEFAULT_LAMS, sweep_pickle
+
+                rows = dict(sweep_pickle(result, gt, DEFAULT_LAMS, lam[1]))
+                best_lam = max(rows, key=rows.get)
+                row += [round(rows[0.0], 4), round(rows[1.0], 4),
+                        best_lam, round(rows[best_lam], 4)]
+                logger.info(
+                    "step %d sweep: psnr-only %.4f fea-only %.4f best "
+                    "%.4f @ l1=%g", step, rows[0.0], rows[1.0],
+                    rows[best_lam], best_lam)
             with open(results_path, "a", newline="") as fh:
-                csv.writer(fh).writerow([step, round(auc, 4), round(fps, 2)])
+                csv.writer(fh).writerow(row)
             seen.add(step)
             if auc > best[1]:
                 best = (step, auc)

@@ -138,11 +138,15 @@ class TestWatchEval:
              "--exp_tag", "watch-test"])
         best = watch_main(["--run_dir", run_dir, "--dataset_name", "toydata",
                            "--data_dir", toydata, "--once",
-                           "--batch_size", "4"])
+                           "--batch_size", "4", "--sweep"])
         assert best[0] == 2 and 0.0 <= best[1] <= 1.0
         rows = list(csv.DictReader(
             open(os.path.join(run_dir, "watch_results.csv"))))
         assert [int(r["step"]) for r in rows] == [2]
+        # --sweep appended the live per-channel trajectory columns
+        for col in ("psnr_only", "fea_only", "best_lam", "best_auc"):
+            assert 0.0 <= float(rows[0][col]) <= 1.0, (col, rows[0])
+        assert float(rows[0]["best_auc"]) >= float(rows[0]["psnr_only"])
         # idempotent: a second pass sees the step as already scored
         best2 = watch_main(["--run_dir", run_dir, "--dataset_name", "toydata",
                             "--data_dir", toydata, "--once",
