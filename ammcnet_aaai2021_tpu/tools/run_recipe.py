@@ -75,6 +75,11 @@ def parser_args(argv=None):
                    help="additionally pin the memory codebook (skip the EMA "
                         "carry) in stage 2 — the mechanism control arm; "
                         "measured a wash next to --fix_branches alone")
+    p.add_argument("--fetch_every_periods", type=int, default=1,
+                   help="passed to run_train: batch K log-periods of "
+                        "scalars per D2H fetch — set ~10 on tunneled "
+                        "hardware (a degraded-hour RTT can stall a "
+                        "per-10-step fetch for minutes)")
     p.add_argument("--tag", default="recipe")
     return p.parse_args(argv)
 
@@ -103,7 +108,8 @@ def main(argv=None) -> dict:
               "--image_size", str(args.image_size),
               "--batch_size", str(args.batch_size),
               "--n_embed", str(args.n_embed), "--k", str(args.k),
-              "--seed", str(args.seed), "--backend", args.backend]
+              "--seed", str(args.seed), "--backend", args.backend,
+              "--fetch_every_periods", str(args.fetch_every_periods)]
     if args.flownet_ckpt:
         common += ["--flownet_ckpt", args.flownet_ckpt]
 

@@ -295,6 +295,7 @@ class TestTwoStageRecipe:
              "--dataset_name", "toydata", "--anomaly", "appearance",
              "--fix_branches", "--save_dir", str(tmp_path / "recipe"),
              "--stage1_iters", "400", "--stage2_iters", "200",
+             "--fetch_every_periods", "10",
              "--skip_scratch_control", "--tag", "mech"],
             capture_output=True, text=True, timeout=3600, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
