@@ -63,6 +63,8 @@ _SLOW_TESTS = (
     "test_multi_video_scorer.py::test_score_dataset_gray_upload",      # 77s
     "test_pipeline_e2e.py::TestRunTestCLI::test_on_the_fly_flow_end_to_end",
     "test_train_step.py::TestDataParallelStep::test_pjit_step_over_mesh",
+    "test_train_step.py::TestDataParallelStep"
+    "::test_fix_branches_step_over_mesh",                              # 45s
     "test_pipeline_e2e.py::TestRunTrainCLI"
     "::test_stage2_device_backend_trains_and_resumes",                 # 51s
     "test_pipeline_e2e.py::TestTwoStageRecipe::test_recipe_chain_executes",

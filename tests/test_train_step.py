@@ -327,3 +327,50 @@ class TestDataParallelStep:
         # params stay replicated (single logical copy)
         leaf = jax.tree.leaves(new_state.g_params)[0]
         assert leaf.sharding.is_fully_replicated
+
+    def test_fix_branches_step_over_mesh(self, twostream_setup,
+                                         cpu_mesh_devices):
+        """The RECOMMENDED deployment config (README: stage-2
+        --fix_branches, the reference's fixed_rgb_op_branch mode,
+        vqvae.py:634-643) composed with the DP mesh — what a production
+        multi-chip finetune actually runs.  Branch params must stay
+        bit-frozen under the sharded step (the optax zero-update mask
+        composed with XLA's gradient all-reduce) while the bridge updates
+        and stays replicated."""
+        import dataclasses
+
+        from ammcnet_aaai2021_tpu.parallel import (
+            make_mesh, replicate, shard_batch)
+
+        state, _, _, flow_vars = twostream_setup
+        cfg = small_net()
+        gen = build_generator(cfg)
+        disc = PixelDiscriminator(dtype=jnp.float32)
+        flownet = FlowNet2SD(dtype=jnp.float32)
+        loss_cfg = LossConfig(loss_tag="twostream_vq")
+        mask = {k: k == "bridge" for k in state.g_params}
+        g_tx, d_tx = make_optimizers(OptimConfig(lr_g=1e-3, lr_d=1e-4),
+                                     g_mask=mask)
+        state = dataclasses.replace(state,
+                                    g_opt_state=g_tx.init(state.g_params))
+        step_fn = jax.jit(make_twostream_train_step(
+            gen, disc, flownet, loss_cfg, g_tx, d_tx))
+        mesh = make_mesh(8, devices=cpu_mesh_devices)
+        rng_np = np.random.default_rng(11)
+        batch = {
+            "rgb": jnp.asarray(rng_np.uniform(-1, 1, (8, SIZE, SIZE, 15))
+                               .astype(np.float32)),
+            "op": jnp.asarray(rng_np.uniform(-1, 1, (8, SIZE, SIZE, 8))
+                              .astype(np.float32)),
+        }
+        s, _ = step_fn(replicate(mesh, state), shard_batch(mesh, batch),
+                       replicate(mesh, flow_vars))
+        for key in ("rgb", "op"):
+            for old, new in zip(jax.tree.leaves(state.g_params[key]),
+                                jax.tree.leaves(s.g_params[key])):
+                np.testing.assert_array_equal(np.asarray(old),
+                                              np.asarray(new))
+        old_b = jax.tree.leaves(state.g_params["bridge"])[0]
+        new_b = jax.tree.leaves(s.g_params["bridge"])[0]
+        assert not np.allclose(np.asarray(old_b), np.asarray(new_b))
+        assert new_b.sharding.is_fully_replicated
