@@ -354,6 +354,13 @@ def main() -> None:
             calibrate_act_scales, make_quantized_forward,
             quantize_twostream_variables)
 
+        # heartbeat BEFORE the slow pieces: after a cache wipe the record
+        # pass + quantized programs recompile remotely (observed 2026-08-21:
+        # 555 silent seconds before the honest-0.0 deadline — the wipe
+        # recovery re-lands only the default-env programs, so the FIRST
+        # BENCH_INT8=1 run after a wipe pays the int8 compiles)
+        heartbeat("int8: folding BN + quantizing weights, then the jitted "
+                  "calibration record pass (slow on a cold cache)")
         apply_fn = make_quantized_forward(
             embed_dim=cfg.embed_dim, n_embed=cfg.n_embed, k=cfg.k,
             per_sample_diff=True, use_pallas=cfg.use_pallas_memory)
