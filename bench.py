@@ -32,9 +32,9 @@ bucket on device, so only the 180 true frames travel, and (BENCH_GRAY=1,
 default — ped2 is grayscale) only ONE u8 channel per frame travels, the
 device broadcasting to the 3 identical channels a color decode would
 produce: 142 MB/pass total, -86% vs host flows' 1.05 GB.  BENCH_OTF_FLOW=0
-restores the precomputed-flow upload path; BENCH_INT8=1 serves the
-calibrated int8 forward (opt-in; see the INT8 flag); BENCH_GRAY=0 the 3-channel
-(color-dataset) shape.
+restores the precomputed-flow upload path; BENCH_INT8=1 (DEFAULT since
+round 5; =0 restores bf16) serves the calibrated int8 forward — see the
+INT8 flag; BENCH_GRAY=0 the 3-channel (color-dataset) shape.
 
 Determinism discipline (CLAUDE.md): every program this file traces must
 already be in the persistent compile cache (~/.cache/ammcnet_jax) — the
@@ -109,13 +109,16 @@ OTF_FLOW = os.environ.get("BENCH_OTF_FLOW", "1") == "1"
 # H2D bandwidth is the end-to-end bottleneck.  BENCH_GRAY=0 restores
 # 3-channel synth + upload (the avenue/color-dataset shape).
 GRAY = os.environ.get("BENCH_GRAY", "1") == "1"
-# BENCH_INT8=1 serves the calibrated int8 forward (models/quantized: BN
-# folded, per-channel int8 weights, static activation scales calibrated on
-# 8 synthetic windows — ONE jitted record pass, one fetch) instead of bf16.
-# Opt-in: the headline driver number stays the bf16 production scorer; the
-# int8 row is recorded separately in PERF.md (device-resident it measures
-# 940 vs 744.9 windows/s, but end-to-end the tunnel bound usually hides it).
-INT8 = os.environ.get("BENCH_INT8", "0") == "1"
+# BENCH_INT8=1 (DEFAULT since round 5) serves the calibrated int8 forward
+# (models/quantized: BN folded, per-channel int8 weights, static activation
+# scales calibrated on 8 synthetic windows — ONE jitted record pass, one
+# fetch) instead of bf16.  Flipped to default after the round-5
+# measurements: back-to-back same-hour medians 458-466 fps int8 vs 305 bf16
+# (the device-side 1.26x shows end-to-end whenever the bulk path is
+# healthy), setup cost equalized by the /tmp calibrated-variables memo
+# (~16 s vs 140 s), quality tracked within 4e-4 AUC across the lam grid
+# (PERF.md).  BENCH_INT8=0 restores the bf16 production scorer.
+INT8 = os.environ.get("BENCH_INT8", "1") == "1"
 # total wall budget for the whole bench: whatever setup/warm-up consumed,
 # the timed passes get the REMAINDER (min 60 s) and then the bench reports
 # the median of completed passes or the real partial measurement so far —
@@ -354,30 +357,66 @@ def main() -> None:
             calibrate_act_scales, make_quantized_forward,
             quantize_twostream_variables)
 
-        # heartbeat BEFORE the slow pieces: after a cache wipe the record
-        # pass + quantized programs recompile remotely (observed 2026-08-21:
-        # 555 silent seconds before the honest-0.0 deadline — the wipe
-        # recovery re-lands only the default-env programs, so the FIRST
-        # BENCH_INT8=1 run after a wipe pays the int8 compiles)
-        heartbeat("int8: folding BN + quantizing weights, then the jitted "
-                  "calibration record pass (slow on a cold cache)")
         apply_fn = make_quantized_forward(
             embed_dim=cfg.embed_dim, n_embed=cfg.n_embed, k=cfg.k,
             per_sample_diff=True, use_pallas=cfg.use_pallas_memory)
-        qvars = quantize_twostream_variables(variables)
-        # 8 calibration windows synthesized ON DEVICE (scales only need the
-        # data distribution; the record pass is one jitted program + one
-        # fetch — models/quantized.calibrate_act_scales)
-        kr, kf = jax.random.split(jax.random.PRNGKey(2))
-        rgb_w = (jax.random.randint(kr, (8, SIZE, SIZE, 15), 0, 255,
-                                    jnp.uint8).astype(jnp.float32)
-                 / 255.0 - 0.5) / 0.5
-        op_w = jax.random.normal(kf, (8, SIZE, SIZE, 8),
-                                 jnp.bfloat16) * 0.02
-        variables = calibrate_act_scales(
-            apply_fn, qvars, [(rgb_w[..., :12], op_w[..., :6])])
-        heartbeat("int8: BN folded, weights quantized, 40 activation "
-                  "scales calibrated (one jitted pass)")
+        # the calibrated variables are DETERMINISTIC (gen.init PRNGKey(0) +
+        # fixed synthetic calibration windows), and computing them fresh
+        # measured 140 s per process even with every program cached (host
+        # BN-fold/quantize on the 1-core CPU + record pass) — memoize them
+        # to /tmp like the synth JPEG bytes, keyed by shape AND a source
+        # hash of models/quantized.py so a code change can never serve a
+        # stale quantization
+        import hashlib
+        import pickle
+
+        from ammcnet_aaai2021_tpu.models import quantized as _qmod
+
+        src_h = hashlib.sha256(
+            open(_qmod.__file__, "rb").read()).hexdigest()[:12]
+        memo = (f"/tmp/ammcnet_bench_int8vars_{SIZE}_{cfg.embed_dim}_"
+                f"{cfg.n_embed}_{cfg.k}_{src_h}.pkl")
+        host_vars = None
+        try:
+            with open(memo, "rb") as fh:
+                host_vars = pickle.load(fh)
+        except Exception:  # missing/corrupt memo: recompute, never crash
+            host_vars = None
+        if host_vars is not None:
+            variables = jax.tree.map(jnp.asarray, host_vars)
+            heartbeat("int8: calibrated variables from memo (BN-fold + "
+                      "quantize + record pass skipped)")
+        else:
+            # heartbeat BEFORE the slow pieces: after a cache wipe the
+            # record pass + quantized programs recompile remotely (observed
+            # 2026-08-21: 555 silent seconds before the honest-0.0 deadline
+            # — the wipe recovery re-lands only the default-env programs,
+            # so the FIRST BENCH_INT8=1 run after a wipe pays the compiles)
+            heartbeat("int8: folding BN + quantizing weights, then the "
+                      "jitted calibration record pass (slow on a cold "
+                      "cache)")
+            qvars = quantize_twostream_variables(variables)
+            # 8 calibration windows synthesized ON DEVICE (scales only need
+            # the data distribution; the record pass is one jitted program
+            # + one fetch — models/quantized.calibrate_act_scales)
+            kr, kf = jax.random.split(jax.random.PRNGKey(2))
+            rgb_w = (jax.random.randint(kr, (8, SIZE, SIZE, 15), 0, 255,
+                                        jnp.uint8).astype(jnp.float32)
+                     / 255.0 - 0.5) / 0.5
+            op_w = jax.random.normal(kf, (8, SIZE, SIZE, 8),
+                                     jnp.bfloat16) * 0.02
+            variables = calibrate_act_scales(
+                apply_fn, qvars, [(rgb_w[..., :12], op_w[..., :6])])
+            heartbeat("int8: BN folded, weights quantized, 40 activation "
+                      "scales calibrated (one jitted pass)")
+            try:
+                host = jax.tree.map(np.asarray, variables)
+                tmp = memo + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as fh:
+                    pickle.dump(host, fh, pickle.HIGHEST_PROTOCOL)
+                os.replace(tmp, memo)
+            except Exception as e:  # memo is an optimization, never fatal
+                heartbeat(f"int8 memo write skipped ({e!r})")
 
     import ml_dtypes
 
